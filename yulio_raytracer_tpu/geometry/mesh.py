@@ -1,0 +1,173 @@
+"""SoA triangle geometry: the TPU-native scene representation.
+
+The reference keeps per-shape `TriangleMeshWithNormals` / `TriangleMeshFull`
+objects that are "extracted" into Embree buffers at commit time
+(`shapes/trianglemesh.h:29-41`, `trianglemesh_normals.cpp:95-127`).  Here the
+commit step instead *flattens every primitive of the scene into one packed
+struct-of-arrays*, because a single static-shape tensor per attribute is what
+XLA needs to vectorize intersection and shading over the whole wavefront.
+
+Per-corner attributes are stored unindexed ((T, 3, k) arrays) so shading
+needs no second gather through an index buffer.  Per-triangle metadata
+carries everything `postIntersect` + the cull filters used to resolve
+dynamically in C++ (material id, light id, cull mode, illum/shadow masks —
+cf. api/instance.h:29-52, scene_flat.h:54-55, trianglemesh_normals.cpp:68-104).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+# cull modes (per primitive, from the Collada loader's per-mesh face culling
+# modes default/forcesingle/forcedouble — ColladaLoader.cpp:601-615)
+CULL_NONE = 0      # double-sided
+CULL_BACK = 1      # hide back-facing hits (single-sided)
+
+
+@dataclass
+class HostMesh:
+    """One logical shape before packing (host-side, numpy)."""
+    positions: np.ndarray            # (V, 3) f32
+    triangles: np.ndarray            # (T, 3) i32
+    normals: Optional[np.ndarray] = None    # (V, 3) f32 or None
+    texcoords: Optional[np.ndarray] = None  # (V, 2) f32 or None
+    material: int = 0
+    light: int = -1                  # area-light id or -1
+    cull: int = CULL_NONE
+    illum_mask: int = -1
+    shadow_mask: int = -1
+
+    def transformed(self, xfm: np.ndarray) -> "HostMesh":
+        """Bake an affine transform ((4,3) rows [vx;vy;vz;p]) into vertices,
+        like TriangleMesh::transform (trianglemesh_normals.cpp:43-57)."""
+        l, p = xfm[:3], xfm[3]
+        pos = self.positions @ l + p
+        nrm = None
+        if self.normals is not None:
+            linv_t = np.linalg.inv(l)
+            nrm = self.normals @ linv_t
+            nlen = np.linalg.norm(nrm, axis=-1, keepdims=True)
+            nrm = (nrm / np.maximum(nlen, 1e-20)).astype(np.float32)
+        return HostMesh(pos.astype(np.float32), self.triangles, nrm,
+                        self.texcoords, self.material, self.light, self.cull,
+                        self.illum_mask, self.shadow_mask)
+
+
+@dataclass
+class PackedGeometry:
+    """All scene triangles, flattened (host numpy; converted to jnp at
+    commit).  This is the analog of the committed Embree scene."""
+    v0: np.ndarray          # (T, 3) f32
+    e1: np.ndarray          # (T, 3) f32  v1 - v0
+    e2: np.ndarray          # (T, 3) f32  v2 - v0
+    ng: np.ndarray          # (T, 3) f32  normalized geometric normal
+    vn: np.ndarray          # (T, 3, 3) f32 per-corner shading normals
+    uv: np.ndarray          # (T, 3, 2) f32 per-corner texcoords
+    mat_id: np.ndarray      # (T,) i32
+    light_id: np.ndarray    # (T,) i32
+    cull: np.ndarray        # (T,) i32
+    illum_mask: np.ndarray  # (T,) i32
+    shadow_mask: np.ndarray # (T,) i32
+    valid: np.ndarray       # (T,) bool — padding/degenerate mask
+    bbox_lo: np.ndarray     # (3,) f32 scene bounds
+    bbox_hi: np.ndarray     # (3,) f32
+
+    @property
+    def num_triangles(self) -> int:
+        return int(self.v0.shape[0])
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def pack_meshes(meshes: list[HostMesh], pad_multiple: int = 128) -> PackedGeometry:
+    """Flatten shapes into one SoA table, padded to a lane multiple so the
+    triangle axis tiles cleanly onto the 8x128 VPU / 128x128 MXU."""
+    v0s, e1s, e2s, vns, uvs = [], [], [], [], []
+    mats, lights, culls, ims, sms = [], [], [], [], []
+    for m in meshes:
+        pos = np.asarray(m.positions, np.float32)
+        tri = np.asarray(m.triangles, np.int64)
+        if tri.size == 0:
+            continue
+        p0, p1, p2 = pos[tri[:, 0]], pos[tri[:, 1]], pos[tri[:, 2]]
+        v0s.append(p0)
+        e1s.append(p1 - p0)
+        e2s.append(p2 - p0)
+        if m.normals is not None and len(m.normals):
+            n = np.asarray(m.normals, np.float32)
+            vns.append(np.stack([n[tri[:, 0]], n[tri[:, 1]], n[tri[:, 2]]], axis=1))
+        else:
+            ng = np.cross(p1 - p0, p2 - p0)
+            ng /= np.maximum(np.linalg.norm(ng, axis=-1, keepdims=True), 1e-20)
+            vns.append(np.repeat(ng[:, None, :], 3, axis=1))
+        if m.texcoords is not None and len(m.texcoords):
+            t = np.asarray(m.texcoords, np.float32)
+            uvs.append(np.stack([t[tri[:, 0]], t[tri[:, 1]], t[tri[:, 2]]], axis=1))
+        else:
+            uvs.append(np.zeros((len(tri), 3, 2), np.float32))
+        nt = len(tri)
+        mats.append(np.full(nt, m.material, np.int32))
+        lights.append(np.full(nt, m.light, np.int32))
+        culls.append(np.full(nt, m.cull, np.int32))
+        ims.append(np.full(nt, m.illum_mask, np.int32))
+        sms.append(np.full(nt, m.shadow_mask, np.int32))
+
+    if not v0s:  # empty scene: one degenerate triangle
+        v0s = [np.zeros((1, 3), np.float32)]
+        e1s = [np.zeros((1, 3), np.float32)]
+        e2s = [np.zeros((1, 3), np.float32)]
+        vns = [np.zeros((1, 3, 3), np.float32)]
+        uvs = [np.zeros((1, 3, 2), np.float32)]
+        mats, lights = [np.zeros(1, np.int32)], [np.full(1, -1, np.int32)]
+        culls = [np.zeros(1, np.int32)]
+        ims, sms = [np.full(1, -1, np.int32)], [np.full(1, -1, np.int32)]
+
+    v0 = np.concatenate(v0s)
+    e1 = np.concatenate(e1s)
+    e2 = np.concatenate(e2s)
+    vn = np.concatenate(vns)
+    uv = np.concatenate(uvs)
+    mat = np.concatenate(mats)
+    light = np.concatenate(lights)
+    cull = np.concatenate(culls)
+    im = np.concatenate(ims)
+    sm = np.concatenate(sms)
+
+    t = len(v0)
+    tp = _round_up(max(t, 1), pad_multiple)
+    pad = tp - t
+
+    def _pad(a, fill=0.0):
+        w = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        return np.pad(a, w, constant_values=fill)
+
+    ngv = np.cross(e1, e2)
+    nglen = np.linalg.norm(ngv, axis=-1, keepdims=True)
+    valid = (nglen[:, 0] > 0.0)
+    ng = ngv / np.maximum(nglen, 1e-30)
+
+    verts = np.concatenate([v0, v0 + e1, v0 + e2])
+    finite = np.isfinite(verts).all(axis=1)
+    bb_lo, bb_hi = (verts[finite].min(axis=0), verts[finite].max(axis=0)) \
+        if finite.any() else (np.zeros(3), np.zeros(3))
+
+    return PackedGeometry(
+        v0=_pad(v0.astype(np.float32)),
+        e1=_pad(e1.astype(np.float32)),
+        e2=_pad(e2.astype(np.float32)),
+        ng=_pad(ng.astype(np.float32)),
+        vn=_pad(vn.astype(np.float32)),
+        uv=_pad(uv.astype(np.float32)),
+        mat_id=_pad(mat),
+        light_id=_pad(light, fill=-1),
+        cull=_pad(cull),
+        illum_mask=_pad(im, fill=-1),
+        shadow_mask=_pad(sm, fill=-1),
+        valid=_pad(valid, fill=False),
+        bbox_lo=bb_lo.astype(np.float32),
+        bbox_hi=bb_hi.astype(np.float32),
+    )

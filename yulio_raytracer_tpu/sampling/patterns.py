@@ -1,0 +1,54 @@
+"""Stratified / multi-jittered sample patterns as pure functions.
+
+The reference precomputes 64 multi-jittered sample sets per tile on the host
+(`samplers/sampler.cpp:85-160`) because its integrator consumes samples
+serially per thread.  A wavefront renderer instead evaluates the pattern
+*in place*: the j-th pixel sample of pixel p at iteration k is a pure
+function of (seed, p, j, k).  Stratification is preserved — sample j lands
+in stratum j of an a x b grid (spp rounded up to the next square-ish grid,
+mirroring sampler.cpp:91's round-to-pow2), jittered by the pcg4d hash, and
+the stratum order is decorrelated between pixels by a per-pixel XOR scramble
+(the stateless analog of sampler.cpp:134's hashed sample-set pick).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core import rng
+
+
+def grid_dims(spp: int) -> tuple[int, int]:
+    """Factor spp into the most square a x b grid with a*b >= spp."""
+    a = int(np.floor(np.sqrt(spp)))
+    while a > 1 and spp % a != 0:
+        a -= 1
+    return a, spp // a
+
+
+def pixel_sample(seed, pixel_id, sample_id, spp: int, dim: int = 0):
+    """Jittered-stratified 2D sample in [0,1)^2 for pixel-position dims.
+
+    pixel_id/sample_id: broadcastable int arrays. spp is static.
+    """
+    a, b = grid_dims(spp)
+    n = a * b
+    # per-pixel decorrelation of stratum order
+    scramble = rng.hash_u32(pixel_id, jnp.uint32(dim), seed, jnp.uint32(0x9E3779B9))
+    s = (jnp.asarray(sample_id).astype(jnp.uint32) + scramble) % jnp.uint32(n)
+    sx = (s % jnp.uint32(a)).astype(jnp.float32)
+    sy = (s // jnp.uint32(a)).astype(jnp.float32)
+    jitter = rng.uniform2(seed, pixel_id, sample_id, jnp.uint32(dim))
+    u = (sx + jitter[..., 0]) * (1.0 / a)
+    v = (sy + jitter[..., 1]) * (1.0 / b)
+    return jnp.stack([u, v], axis=-1)
+
+
+def sample_2d(seed, pixel_id, sample_id, dim):
+    """Unstratified 2D sample for scatter/light dims (sampler.cpp:110-112
+    uses jittered 1D/2D; decorrelated hash is the wavefront analog)."""
+    return rng.uniform2(seed, pixel_id, sample_id, dim)
+
+
+def sample_1d(seed, pixel_id, sample_id, dim):
+    return rng.uniform1(seed, pixel_id, sample_id, dim)
