@@ -1,0 +1,213 @@
+"""Host-side BVH build + flattening for stackless TPU traversal.
+
+Replaces Embree's BVH4 construction (`rtcCommit`, scene_flat.h:108).  The
+build runs once at scene-commit time on the host (numpy binned SAH); the
+*layout* is designed for the TPU traversal in ops/traverse.py:
+
+* depth-first order with **skip pointers**: an interior hit continues to
+  node i+1, a miss (or finished leaf) jumps to skip[i].  Traversal needs no
+  stack — every ray's state is a single int32, so a whole wavefront walks
+  the tree in lockstep inside one `lax.while_loop`.
+* **large leaves** (default 64 triangles): on TPU the per-leaf triangle
+  test is dense vector work that costs almost nothing extra per element,
+  while tree steps are gather-bound — so the optimum is a much shallower
+  tree than Embree's 4-wide/leaf-of-4 CPU layout.
+* leaf triangle ranges are contiguous in a permuted triangle order; the
+  packed geometry arrays are permuted once at commit so traversal needs no
+  extra indirection.
+
+A C++ builder (native/bvh_builder.cpp) accelerates large scenes; this numpy
+version is the reference implementation and fallback.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass
+class FlatBVH:
+    lo: np.ndarray      # (N, 3) f32
+    hi: np.ndarray      # (N, 3) f32
+    start: np.ndarray   # (N,) i32  leaf: first triangle (in permuted order)
+    count: np.ndarray   # (N,) i32  leaf: #tris; 0 for interior nodes
+    skip: np.ndarray    # (N,) i32  next node on miss / after leaf (N = done)
+    order: np.ndarray   # (T,) i64  permutation old->new position of tris
+    num_nodes: int
+
+
+def _sah_split(lo, hi, cent, idx, nbins=16):
+    """Binned SAH split of triangle subset idx. Returns (axis, left_idx,
+    right_idx) or None if no good split."""
+    clo = cent[idx].min(axis=0)
+    chi = cent[idx].max(axis=0)
+    ext = chi - clo
+    axis = int(np.argmax(ext))
+    if ext[axis] <= 1e-30:
+        return None
+    # bin by centroid
+    scale = nbins * (1.0 - 1e-6) / ext[axis]
+    b = ((cent[idx, axis] - clo[axis]) * scale).astype(np.int32)
+    b = np.clip(b, 0, nbins - 1)
+
+    # per-bin counts and bounds
+    counts = np.zeros(nbins, np.int64)
+    blo = np.full((nbins, 3), np.inf, np.float64)
+    bhi = np.full((nbins, 3), -np.inf, np.float64)
+    for k in range(nbins):
+        sel = b == k
+        counts[k] = sel.sum()
+        if counts[k]:
+            blo[k] = lo[idx[sel]].min(axis=0)
+            bhi[k] = hi[idx[sel]].max(axis=0)
+
+    def area(l, h):
+        d = np.maximum(h - l, 0)
+        return d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2] + d[..., 2] * d[..., 0]
+
+    # sweep: cost of splitting after bin k
+    llo = np.minimum.accumulate(blo, axis=0)
+    lhi = np.maximum.accumulate(bhi, axis=0)
+    rlo = np.minimum.accumulate(blo[::-1], axis=0)[::-1]
+    rhi = np.maximum.accumulate(bhi[::-1], axis=0)[::-1]
+    lcnt = np.cumsum(counts)
+    rcnt = np.cumsum(counts[::-1])[::-1]
+    cost = np.full(nbins - 1, np.inf)
+    for k in range(nbins - 1):
+        if lcnt[k] == 0 or rcnt[k + 1] == 0:
+            continue
+        cost[k] = (lcnt[k] * area(llo[k], lhi[k])
+                   + rcnt[k + 1] * area(rlo[k + 1], rhi[k + 1]))
+    k = int(np.argmin(cost))
+    if not np.isfinite(cost[k]):
+        # fallback: median split on the widest axis
+        med = np.median(cent[idx, axis])
+        left = idx[cent[idx, axis] <= med]
+        right = idx[cent[idx, axis] > med]
+        if len(left) == 0 or len(right) == 0:
+            half = len(idx) // 2
+            srt = idx[np.argsort(cent[idx, axis], kind='stable')]
+            left, right = srt[:half], srt[half:]
+        return axis, left, right
+    sel = b <= k
+    return axis, idx[sel], idx[~sel]
+
+
+def build(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
+          valid: np.ndarray | None = None,
+          leaf_size: int = 64, nbins: int = 16) -> FlatBVH:
+    """Build a flattened skip-pointer BVH over triangles (v0, v0+e1, v0+e2).
+
+    Invalid (padding/degenerate) triangles are packed into the final leaf's
+    tail positions with empty bounds so they are never hit.
+    """
+    t = len(v0)
+    p1 = v0 + e1
+    p2 = v0 + e2
+    lo = np.minimum(np.minimum(v0, p1), p2).astype(np.float64)
+    hi = np.maximum(np.maximum(v0, p1), p2).astype(np.float64)
+    if valid is None:
+        valid = np.ones(t, bool)
+    cent = 0.5 * (lo + hi)
+    cent[~valid] = 0.0
+    # degenerate/padding tris get empty boxes so they never traverse
+    lo[~valid] = np.inf
+    hi[~valid] = -np.inf
+    live = np.nonzero(valid)[0]
+    dead = np.nonzero(~valid)[0]
+
+    nodes = []      # list of [lo, hi, start, count]
+    is_leaf = []
+    order = []
+
+    def emit(idx) -> int:
+        """Iteratively emit subtrees in DFS order (explicit stack — large
+        scenes would blow Python's recursion limit).  Returns root id."""
+        root_id = len(nodes)
+        stack = [np.asarray(idx)]
+        while stack:
+            sub = stack.pop()
+            me = len(nodes)
+            if len(sub):
+                nlo = lo[sub].min(axis=0)
+                nhi = hi[sub].max(axis=0)
+            else:
+                nlo = np.full(3, np.inf)
+                nhi = np.full(3, -np.inf)
+            split = None
+            if len(sub) > leaf_size:
+                split = _sah_split(lo, hi, cent, sub, nbins)
+            if split is None:
+                nodes.append([nlo, nhi, len(order), len(sub)])
+                is_leaf.append(True)
+                order.extend(sub.tolist())
+            else:
+                _, left, right = split
+                nodes.append([nlo, nhi, 0, 0])
+                is_leaf.append(False)
+                # DFS order: left subtree immediately follows, so push
+                # right first
+                stack.append(right)
+                stack.append(left)
+        return root_id
+
+    emit(live)
+    n = len(nodes)
+
+    # skip pointers: node i's subtree occupies [i, end); skip[i] = end.
+    # In DFS order, end(leaf) = i+1 and end(interior) = end(right child)
+    # = end(end(left child)) — computable right-to-left with a stack.
+    skip = np.zeros(n, np.int32)
+    stack: list[int] = []
+    for i in range(n - 1, -1, -1):
+        if is_leaf[i]:
+            skip[i] = i + 1
+            stack.append(i + 1)
+        else:
+            # children of i are i+1 (left) and the subtree after it (right);
+            # end(i) == end(right). Pop the two subtree-ends produced by the
+            # children; the later one is end(i).
+            end_left = stack.pop()
+            end_right = stack.pop()
+            # end_left was pushed by node i+1, end_right by the right child;
+            # end(i) is the right child's end
+            skip[i] = end_right
+            stack.append(end_right)
+
+    order.extend(dead.tolist())
+    order_arr = np.asarray(order, np.int64)
+    assert len(order_arr) == t
+
+    return FlatBVH(
+        lo=np.stack([nd[0] for nd in nodes]).astype(np.float32),
+        hi=np.stack([nd[1] for nd in nodes]).astype(np.float32),
+        start=np.asarray([nd[2] for nd in nodes], np.int32),
+        count=np.asarray([nd[3] for nd in nodes], np.int32),
+        skip=skip,
+        order=order_arr,
+        num_nodes=n,
+    )
+
+
+_PER_TRIANGLE_KEYS = frozenset({
+    'v0', 'e1', 'e2', 'ng', 'vn', 'uv', 'mat_id', 'light_id', 'cull',
+    'illum_mask', 'shadow_mask', 'valid'})
+
+
+def permute_geom(geom: dict, order: np.ndarray) -> dict:
+    """Apply the BVH triangle permutation to the per-triangle arrays of a
+    geometry dict (host numpy or device jnp)."""
+    return {k: (a[order] if k in _PER_TRIANGLE_KEYS else a)
+            for k, a in geom.items()}
+
+
+def to_device(bvh: FlatBVH) -> dict:
+    import jax.numpy as jnp
+    return {
+        'lo': jnp.asarray(bvh.lo),
+        'hi': jnp.asarray(bvh.hi),
+        'start': jnp.asarray(bvh.start),
+        'count': jnp.asarray(bvh.count),
+        'skip': jnp.asarray(bvh.skip),
+    }

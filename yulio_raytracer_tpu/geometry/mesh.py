@@ -83,6 +83,26 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def to_device(packed: "PackedGeometry") -> dict:
+    """Upload the packed tables as a jnp dict — the committed scene geometry
+    consumed by ops.intersect (the analog of the built Embree RTCScene)."""
+    import jax.numpy as jnp
+    return {
+        'v0': jnp.asarray(packed.v0),
+        'e1': jnp.asarray(packed.e1),
+        'e2': jnp.asarray(packed.e2),
+        'ng': jnp.asarray(packed.ng),
+        'vn': jnp.asarray(packed.vn),
+        'uv': jnp.asarray(packed.uv),
+        'mat_id': jnp.asarray(packed.mat_id),
+        'light_id': jnp.asarray(packed.light_id),
+        'cull': jnp.asarray(packed.cull),
+        'illum_mask': jnp.asarray(packed.illum_mask),
+        'shadow_mask': jnp.asarray(packed.shadow_mask),
+        'valid': jnp.asarray(packed.valid),
+    }
+
+
 def pack_meshes(meshes: list[HostMesh], pad_multiple: int = 128) -> PackedGeometry:
     """Flatten shapes into one SoA table, padded to a lane multiple so the
     triangle axis tiles cleanly onto the 8x128 VPU / 128x128 MXU."""

@@ -1,0 +1,182 @@
+"""Batched ray-triangle intersection: the TPU replacement for Embree's
+`rtcIntersect` / `rtcOccluded` (`pathtraceintegrator.cpp:72,160`).
+
+Two execution strategies over the packed SoA triangle table:
+
+* `intersect_brute` — every ray against every triangle, tiled over the
+  triangle axis inside a `lax.scan` with a running closest-hit reduction.
+  For small scenes (golden models are O(10^2..10^4) tris) this maps the
+  whole problem onto dense VPU/MXU work with zero divergence — on TPU that
+  beats a divergent BVH walk by a wide margin.
+* BVH traversal (ops/traverse.py) for large scenes — rays walk a flattened
+  BVH and only leaf ranges go through the same dense triangle test.
+
+Back-face culling reproduces the reference's Embree filter exactly
+(`trianglemesh_normals.cpp:68-104`): a cull-enabled triangle rejects hits
+with dot(cross(e1, e2), dir) >= 0 (including degenerate == 0).
+
+The triangle test is watertight-enough Moller-Trumbore in f32 with the
+epsilon conventions of the reference (hits strictly inside (tnear, tfar)).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+INF = jnp.float32(jnp.inf)
+
+
+class Hit(NamedTuple):
+    """Closest-hit record for a ray batch (all (R,) arrays)."""
+    t: jnp.ndarray        # f32, inf on miss
+    tri: jnp.ndarray      # i32 triangle index, -1 on miss
+    u: jnp.ndarray        # f32 barycentric of e1 vertex
+    v: jnp.ndarray        # f32 barycentric of e2 vertex
+
+    @property
+    def valid(self):
+        return self.tri >= 0
+
+
+def _mt_block(v0, e1, e2, cull, tri_valid, org, dirn, tnear, tfar):
+    """Moller-Trumbore of R rays against a (Tc,) triangle block.
+
+    org/dirn: (R, 3); v0/e1/e2: (Tc, 3). Returns (t, u, v, ok): (R, Tc).
+    """
+    # broadcast (R, 1, 3) x (1, Tc, 3)
+    o = org[:, None, :]
+    d = dirn[:, None, :]
+    v0b = v0[None, :, :]
+    e1b = e1[None, :, :]
+    e2b = e2[None, :, :]
+
+    pvec = jnp.cross(d, e2b)                       # (R, Tc, 3)
+    det = jnp.sum(e1b * pvec, axis=-1)             # (R, Tc)
+    # cull test: reject back faces for cull-enabled tris
+    ng_dot_d = jnp.sum(jnp.cross(e1b, e2b) * d, axis=-1)
+    cull_ok = jnp.where(cull[None, :] == 1, ng_dot_d < 0.0, True)
+
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    tvec = o - v0b
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1b)
+    v = jnp.sum(d * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2b * qvec, axis=-1) * inv_det
+
+    ok = ((jnp.abs(det) > 1e-12)
+          & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+          & (t > tnear[:, None]) & (t < tfar[:, None])
+          & cull_ok & tri_valid[None, :])
+    return t, u, v, ok
+
+
+def _closest_in_block(v0, e1, e2, cull, tri_valid, org, dirn, tnear, tfar,
+                      base_index):
+    t, u, v, ok = _mt_block(v0, e1, e2, cull, tri_valid, org, dirn, tnear, tfar)
+    t = jnp.where(ok, t, INF)
+    j = jnp.argmin(t, axis=-1)                        # (R,)
+    r = jnp.arange(t.shape[0])
+    tbest = t[r, j]
+    hit = jnp.isfinite(tbest)
+    return (tbest,
+            jnp.where(hit, base_index + j.astype(jnp.int32), -1),
+            u[r, j], v[r, j])
+
+
+def intersect_brute(geom, org, dirn, tnear, tfar,
+                    block: int = 512) -> Hit:
+    """Closest hit of each ray against ALL triangles (chunked scan)."""
+    T = geom['v0'].shape[0]
+    block = min(block, T)
+    nblk = (T + block - 1) // block
+
+    def body(carry, blk):
+        t0, tri0, u0, v0c = carry
+        # the final block overlaps its predecessor when block does not
+        # divide T — re-testing a few triangles is harmless for closest-hit
+        base = jnp.minimum(blk * block, T - block)
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, base, block, axis=0)
+        t1, tri1, u1, v1 = _closest_in_block(
+            sl(geom['v0']), sl(geom['e1']), sl(geom['e2']),
+            sl(geom['cull']), sl(geom['valid']),
+            org, dirn, tnear, tfar, base)
+        better = t1 < t0
+        return ((jnp.where(better, t1, t0),
+                 jnp.where(better, tri1, tri0),
+                 jnp.where(better, u1, u0),
+                 jnp.where(better, v1, v0c)), None)
+
+    r = org.shape[0]
+    init = (jnp.full((r,), INF), jnp.full((r,), -1, jnp.int32),
+            jnp.zeros((r,)), jnp.zeros((r,)))
+    if nblk == 1:
+        (t, tri, u, v), _ = body(init, jnp.int32(0))
+    else:
+        (t, tri, u, v), _ = jax.lax.scan(body, init,
+                                         jnp.arange(nblk, dtype=jnp.int32))
+    return Hit(t, tri, u, v)
+
+
+def occluded_brute(geom, org, dirn, tnear, tfar, block: int = 512):
+    """Any-hit test (rtcOccluded): (R,) bool, honoring cull filters."""
+    T = geom['v0'].shape[0]
+    block = min(block, T)
+    nblk = (T + block - 1) // block
+
+    def body(occ, blk):
+        base = jnp.minimum(blk * block, T - block)
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, base, block, axis=0)
+        _, _, _, ok = _mt_block(sl(geom['v0']), sl(geom['e1']),
+                                sl(geom['e2']), sl(geom['cull']),
+                                sl(geom['valid']), org, dirn, tnear, tfar)
+        return occ | jnp.any(ok, axis=-1), None
+
+    init = jnp.zeros((org.shape[0],), bool)
+    if nblk == 1:
+        occ, _ = body(init, jnp.int32(0))
+    else:
+        occ, _ = jax.lax.scan(body, init, jnp.arange(nblk, dtype=jnp.int32))
+    return occ
+
+
+def post_intersect(geom, org, dirn, hit: Hit):
+    """Shading-geometry interpolation — the analog of
+    BackendScene::postIntersect + TriangleMesh*::postIntersect
+    (`trianglemesh_normals.cpp:140-162`): P, Ng, interpolated Ns, st,
+    and the 'error' scale used for epsilon offsets.
+
+    Returns a dict of (R, ...) arrays; contents are undefined for misses
+    (callers must mask by hit.valid).
+    """
+    idx = jnp.maximum(hit.tri, 0)
+    p = org + hit.t[..., None] * dirn
+    p = jnp.where(hit.valid[..., None], p, 0.0)
+
+    ng = geom['ng'][idx]
+    vn = geom['vn'][idx]                  # (R, 3, 3)
+    uvs = geom['uv'][idx]                 # (R, 3, 2)
+    w = (1.0 - hit.u - hit.v)
+    ns = (w[..., None] * vn[:, 0] + hit.u[..., None] * vn[:, 1]
+          + hit.v[..., None] * vn[:, 2])
+    nlen = jnp.sqrt(jnp.maximum(jnp.sum(ns * ns, axis=-1, keepdims=True),
+                                1e-20))
+    ns = ns / nlen
+    st = (w[..., None] * uvs[:, 0] + hit.u[..., None] * uvs[:, 1]
+          + hit.v[..., None] * uvs[:, 2])
+    # error estimate: max |coordinate| used to scale intersection epsilon
+    # (reference postIntersect sets dg.error = max(|P|, tfar))
+    err = jnp.maximum(jnp.max(jnp.abs(p), axis=-1), jnp.abs(hit.t))
+    return {
+        'P': p,
+        'Ng': ng,
+        'Ns': ns,
+        'st': st,
+        'error': jnp.where(hit.valid, err, 0.0),
+        'mat_id': jnp.where(hit.valid, geom['mat_id'][idx], 0),
+        'light_id': jnp.where(hit.valid, geom['light_id'][idx], -1),
+        'illum_mask': jnp.where(hit.valid, geom['illum_mask'][idx], -1),
+        'shadow_mask': jnp.where(hit.valid, geom['shadow_mask'][idx], -1),
+    }
