@@ -170,6 +170,17 @@ def affine_rotate(center, axis, angle):
                           affine_translate(-center))
 
 
+def rotate_about_axis(v, u, angle):
+    """Rodrigues rotation of vectors v (..., 3) about unit axis u by angle
+    (broadcastable): v' = v cos + (u x v) sin + u (u.v)(1 - cos).
+    Matches affine_rotate's handedness."""
+    c = jnp.cos(angle)[..., None]
+    s = jnp.sin(angle)[..., None]
+    ub = jnp.broadcast_to(u, v.shape)
+    return (v * c + cross(ub, v) * s
+            + ub * (dot(ub, v) * (1.0 - c[..., 0]))[..., None])
+
+
 def affine_inverse(a):
     l = a[..., :3, :]
     p = a[..., 3, :]

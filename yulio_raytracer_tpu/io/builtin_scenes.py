@@ -1,0 +1,99 @@
+"""Built-in test/benchmark scenes.
+
+The reference ships golden scenes under `models/` (`cornell_box.ecs` drives
+`cornell_box.obj` + a quadlight — models/cornell_box.ecs:1-10), but the
+large geometry blobs are stripped from the mirror.  We rebuild the classic
+Cornell box from the canonical published coordinates (Cornell University
+program of computer graphics data, public domain) so the golden scene runs
+out of the box.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..geometry.mesh import HostMesh
+from ..shading import materials as gmat
+from ..lights import lights as glights
+from ..scene import SceneBuilder
+
+
+def _quad_mesh(a, b, c, d, material):
+    pos = np.asarray([a, b, c, d], np.float32)
+    tri = np.asarray([[0, 1, 2], [0, 2, 3]], np.int32)
+    return HostMesh(pos, tri, material=material)
+
+
+def cornell_box(with_boxes: bool = True) -> SceneBuilder:
+    """The canonical Cornell box: white floor/ceiling/back, red left wall
+    (x=552), green right wall (x=0), area light in the ceiling, and the two
+    boxes.  Camera convention matches models/cornell_box.ecs: vp (278, 273,
+    -800), vi (278, 273, 0), fov 37."""
+    sb = SceneBuilder()
+    white = sb.add_material(gmat.make_material(
+        'matte', {'reflectance': (0.73, 0.73, 0.73)}))
+    red = sb.add_material(gmat.make_material(
+        'matte', {'reflectance': (0.61, 0.062, 0.062)}))
+    green = sb.add_material(gmat.make_material(
+        'matte', {'reflectance': (0.117, 0.435, 0.115)}))
+
+    # floor, ceiling, back wall (canonical coordinates)
+    sb.add_mesh(_quad_mesh([552.8, 0, 0], [0, 0, 0], [0, 0, 559.2],
+                           [549.6, 0, 559.2], white))
+    sb.add_mesh(_quad_mesh([556, 548.8, 0], [556, 548.8, 559.2],
+                           [0, 548.8, 559.2], [0, 548.8, 0], white))
+    sb.add_mesh(_quad_mesh([549.6, 0, 559.2], [0, 0, 559.2],
+                           [0, 548.8, 559.2], [556, 548.8, 559.2], white))
+    # left wall (x ~ 552): red; right wall (x = 0): green
+    sb.add_mesh(_quad_mesh([552.8, 0, 0], [549.6, 0, 559.2],
+                           [556, 548.8, 559.2], [556, 548.8, 0], red))
+    sb.add_mesh(_quad_mesh([0, 0, 559.2], [0, 0, 0],
+                           [0, 548.8, 0], [0, 548.8, 559.2], green))
+
+    if with_boxes:
+        def box(verts):
+            v = np.asarray(verts, np.float32)
+            quads = [(0, 1, 2, 3), (4, 5, 6, 7), (8, 9, 10, 11),
+                     (12, 13, 14, 15), (16, 17, 18, 19)]
+            for q in quads:
+                sb.add_mesh(_quad_mesh(v[q[0]], v[q[1]], v[q[2]], v[q[3]],
+                                       white))
+        # short block
+        box([[130, 165, 65], [82, 165, 225], [240, 165, 272],
+             [290, 165, 114],
+             [290, 0, 114], [290, 165, 114], [240, 165, 272], [240, 0, 272],
+             [130, 0, 65], [130, 165, 65], [290, 165, 114], [290, 0, 114],
+             [82, 0, 225], [82, 165, 225], [130, 165, 65], [130, 0, 65],
+             [240, 0, 272], [240, 165, 272], [82, 165, 225], [82, 0, 225]])
+        # tall block
+        box([[423, 330, 247], [265, 330, 296], [314, 330, 456],
+             [472, 330, 406],
+             [423, 0, 247], [423, 330, 247], [472, 330, 406], [472, 0, 406],
+             [472, 0, 406], [472, 330, 406], [314, 330, 456], [314, 0, 456],
+             [314, 0, 456], [314, 330, 456], [265, 330, 296], [265, 0, 296],
+             [265, 0, 296], [265, 330, 296], [423, 330, 247], [423, 0, 247]])
+
+    # quadlight matching models/cornell_box.ecs:2 (`-quadlight p dx dy L`):
+    # p=(213, 548.77, 227), dx=(130,0,0), dy=(0,0,105), L=(50,50,50)
+    p = np.asarray([213.0, 548.77, 227.0])
+    dx = np.asarray([130.0, 0.0, 0.0])
+    dy = np.asarray([0.0, 0.0, 105.0])
+    add_quad_light(sb, p, dx, dy, (50.0, 50.0, 50.0))
+    return sb
+
+
+def add_quad_light(sb: SceneBuilder, p, dx, dy, L):
+    """`-quadlight P U V L` creates two TriangleLights with the exact
+    reference winding (renderer.cpp:1118-1141): (P+U+V, P+U, P) and
+    (P+U+V, P, P+V)."""
+    p = np.asarray(p, np.float64)
+    u = np.asarray(dx, np.float64)
+    v = np.asarray(dy, np.float64)
+    sb.add_light(glights.triangle(p + u + v, p + u, p, L))
+    sb.add_light(glights.triangle(p + u + v, p, p + v, L))
+
+
+def cornell_camera(width: int = 512, height: int = 512):
+    from ..cameras import cameras as cam
+    l2w = cam.look_at((278.0, 273.0, -800.0), (278.0, 273.0, 0.0),
+                      (0.0, 1.0, 0.0))
+    return cam.Pinhole(l2w, angle=37.0, aspect=width / height)

@@ -1,0 +1,143 @@
+"""Scene assembly + commit: the analog of `rtCommit(scene)`.
+
+The reference builds a `BackendSceneFlat` at commit: extract every shape
+into Embree, build the BVH, collect lights, let lights create shapes
+(area lights become visible geometry) and compute the scene bsphere for the
+ambient dome (`api/scene_flat.h:87-136`).  Here commit produces one
+immutable pytree (`TpuScene`) holding:
+
+* packed+BVH-permuted SoA triangle tables (device arrays),
+* the flattened BVH (when the triangle count warrants it — small scenes
+  intersect faster brute-force on TPU, see ops/intersect.py),
+* the material lobe table + texture atlas,
+* the static light list (ambient lights get the scene bsphere here).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .geometry import mesh as gmesh
+from .geometry import bvh as gbvh
+from .geometry import primitives
+from .shading import materials as gmat
+from .shading import textures as gtex
+from .lights import lights as glights
+
+# below this triangle count, brute-force beats traversal on TPU
+BRUTE_FORCE_MAX_TRIS = 16384
+
+
+@dataclass
+class SceneBuilder:
+    """Mutable host-side staging area (the Device-API equivalent:
+    rtNewShape/rtNewMaterial/rtNewLight calls land here)."""
+    meshes: list = field(default_factory=list)        # HostMesh
+    materials: list = field(default_factory=list)     # MaterialSpec
+    lights: list = field(default_factory=list)        # light dicts
+    textures: gtex.TextureTableBuilder = field(
+        default_factory=gtex.TextureTableBuilder)
+
+    def add_material(self, spec) -> int:
+        self.materials.append(spec)
+        return len(self.materials) - 1
+
+    def add_mesh(self, m: gmesh.HostMesh) -> int:
+        self.meshes.append(m)
+        return len(self.meshes) - 1
+
+    def add_light(self, light: dict) -> int:
+        """Area lights also create their emissive geometry
+        (TriangleLight::createShape via scene_flat.h:133-135)."""
+        self.lights.append(light)
+        lid = len(self.lights) - 1
+        if light['kind'] == 'triangle':
+            mat = self.add_material(gmat.make_material(
+                'matte', {'reflectance': (1.0, 1.0, 1.0)}))
+            # the visible shape's Ng must match the light's emission normal
+            # (shapes/triangle.h:43 uses cross(v2-v0, v1-v0) == light Ng),
+            # so emit the mesh with swapped winding
+            tri = primitives.single_triangle(
+                np.asarray(light['v0']), np.asarray(light['v2']),
+                np.asarray(light['v1']), material=mat, light=lid)
+            self.add_mesh(tri)
+        return lid
+
+    def commit(self, force_bvh: Optional[bool] = None,
+               leaf_size: int = 64) -> "TpuScene":
+        packed = gmesh.pack_meshes(self.meshes)
+        n_tris = packed.num_triangles
+        use_bvh = (force_bvh if force_bvh is not None
+                   else n_tris > BRUTE_FORCE_MAX_TRIS)
+
+        host = {k: getattr(packed, k) for k in gbvh._PER_TRIANGLE_KEYS}
+        bvh_dev = None
+        if use_bvh:
+            tree = gbvh.build(packed.v0, packed.e1, packed.e2, packed.valid,
+                              leaf_size=leaf_size)
+            host = gbvh.permute_geom(host, tree.order)
+            bvh_dev = gbvh.to_device(tree)
+        geom = {k: jnp.asarray(v) for k, v in host.items()}
+
+        lights = [glights.set_scene_bounds(l, packed.bbox_lo, packed.bbox_hi)
+                  for l in self.lights]
+        light_arrays, light_static = _split_lights(lights)
+
+        return TpuScene(
+            geom=geom,
+            bvh=bvh_dev,
+            materials=gmat.build_table(self.materials),
+            textures=self.textures.build(),
+            light_arrays=light_arrays,
+            light_static=light_static,
+            leaf_size=leaf_size,
+            bbox_lo=tuple(float(x) for x in packed.bbox_lo),
+            bbox_hi=tuple(float(x) for x in packed.bbox_hi),
+            num_triangles=n_tris,
+        )
+
+
+def _split_lights(lights):
+    """Split light dicts into (array side, hashable static side) so a
+    TpuScene flattens into a clean jit pytree."""
+    arrays, statics = [], []
+    for l in lights:
+        a, s = {}, {}
+        for k, v in l.items():
+            if isinstance(v, (str, bool, int, float)):
+                s[k] = v
+            else:
+                a[k] = v
+        arrays.append(a)
+        statics.append(tuple(sorted(s.items())))
+    return arrays, tuple(statics)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class TpuScene:
+    """Committed immutable scene: a jit-able pytree (device arrays as data,
+    light kinds / layout parameters as static metadata)."""
+    geom: dict
+    bvh: Optional[dict]
+    materials: dict
+    textures: dict
+    light_arrays: list
+    light_static: tuple = field(metadata=dict(static=True))
+    leaf_size: int = field(metadata=dict(static=True))
+    bbox_lo: tuple = field(metadata=dict(static=True))
+    bbox_hi: tuple = field(metadata=dict(static=True))
+    num_triangles: int = field(metadata=dict(static=True))
+
+    @property
+    def lights(self):
+        return [dict(**a, **dict(s))
+                for a, s in zip(self.light_arrays, self.light_static)]
+
+    @property
+    def env_lights(self):
+        return [l for l in self.lights if glights.is_env(l)]
