@@ -117,3 +117,56 @@ def test_bvh_big_leaf_sizes():
             np.where(np.isfinite(np.asarray(href.t)), np.asarray(href.t), 0),
             np.where(np.isfinite(np.asarray(h.t)), np.asarray(h.t), 0),
             rtol=2e-4, atol=1e-5)
+
+
+def test_native_builder_matches_numpy():
+    from yulio_raytracer_tpu.geometry import bvh as gb
+    packed = _scene(7)
+    nat = gb.build_native(packed.v0, packed.e1, packed.e2, packed.valid,
+                          leaf_size=8)
+    if nat is None:
+        import pytest
+        pytest.skip("native library not built")
+    # structural invariants match the numpy builder's
+    assert nat.skip[0] == nat.num_nodes
+    assert (nat.skip > np.arange(nat.num_nodes)).all()
+    assert nat.count[nat.count > 0].sum() == packed.valid.sum()
+    assert len(np.unique(nat.order)) == len(nat.order)
+    # and traversal produces identical hits
+    geom_b = mesh.to_device(packed)
+    org, d = _rays(8, 256)
+    tn = jnp.full((256,), 1e-4)
+    tf = jnp.full((256,), jnp.inf)
+    href = intersect.intersect_brute(geom_b, org, d, tn, tf, block=64)
+    host = {k: getattr(packed, k) for k in (
+        'v0', 'e1', 'e2', 'ng', 'vn', 'uv', 'mat_id', 'light_id', 'cull',
+        'illum_mask', 'shadow_mask', 'valid')}
+    host = bvh.permute_geom(host, nat.order)
+    geom = {k: jnp.asarray(v) for k, v in host.items()}
+    h = traverse.intersect_bvh(geom, bvh.to_device(nat), org, d, tn, tf,
+                               leaf_size=8)
+    assert (np.isfinite(np.asarray(href.t))
+            == np.isfinite(np.asarray(h.t))).all()
+    np.testing.assert_allclose(
+        np.where(np.isfinite(np.asarray(href.t)), np.asarray(href.t), 0),
+        np.where(np.isfinite(np.asarray(h.t)), np.asarray(h.t), 0),
+        rtol=2e-4, atol=1e-5)
+
+
+def test_native_builder_speed():
+    from yulio_raytracer_tpu.geometry import bvh as gb
+    import time
+    if gb._load_native() is None:
+        import pytest
+        pytest.skip("native library not built")
+    rs = np.random.RandomState(0)
+    n = 200_000
+    v0 = rs.randn(n, 3).astype(np.float32) * 100
+    e1 = rs.randn(n, 3).astype(np.float32)
+    e2 = rs.randn(n, 3).astype(np.float32)
+    valid = np.ones(n, bool)
+    t0 = time.perf_counter()
+    tree = gb.build_native(v0, e1, e2, valid, leaf_size=64)
+    dt = time.perf_counter() - t0
+    assert tree is not None
+    assert dt < 5.0  # 200k tris in seconds, not minutes

@@ -1,0 +1,61 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from yulio_raytracer_tpu.io import builtin_scenes
+from yulio_raytracer_tpu.integrator import pathtracer as pt
+from yulio_raytracer_tpu import renderer
+from yulio_raytracer_tpu.parallel import sharding
+from yulio_raytracer_tpu.film import accum
+
+
+@pytest.fixture(scope='module')
+def scene():
+    return builtin_scenes.cornell_box(with_boxes=False).commit()
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_px_sharded_matches_single(scene):
+    cam = builtin_scenes.cornell_camera(32, 32)
+    params = pt.PTParams(max_depth=2)
+    film_ref, _ = renderer.render_frame(scene, cam, params, 32, 32, spp=2,
+                                        seed=3)
+    mesh = sharding.make_mesh(8, tri_parallel=1)
+    film_sh = sharding.render_frame_sharded(scene, cam, params, 32, 32,
+                                            spp=2, mesh=mesh, seed=3)
+    a = np.asarray(accum.resolve(film_ref))
+    b = np.asarray(accum.resolve(film_sh))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_tri_sharded_matches_single(scene):
+    cam = builtin_scenes.cornell_camera(32, 32)
+    params = pt.PTParams(max_depth=2)
+    film_ref, _ = renderer.render_frame(scene, cam, params, 32, 32, spp=2,
+                                        seed=5)
+    mesh = sharding.make_mesh(8, tri_parallel=4)   # 2-way px x 4-way tri
+    film_sh = sharding.render_frame_sharded(scene, cam, params, 32, 32,
+                                            spp=2, mesh=mesh, seed=5)
+    a = np.asarray(accum.resolve(film_ref))
+    b = np.asarray(accum.resolve(film_sh))
+    np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_sharded_accumulation(scene):
+    cam = builtin_scenes.cornell_camera(32, 32)
+    params = pt.PTParams(max_depth=2)
+    mesh = sharding.make_mesh(8)
+    f1 = sharding.render_frame_sharded(scene, cam, params, 32, 32, spp=2,
+                                       mesh=mesh, seed=3)
+    f2 = sharding.render_frame_sharded(scene, cam, params, 32, 32, spp=2,
+                                       mesh=mesh, seed=3, film=f1,
+                                       iteration=1)
+    assert float(f2.weight[0, 0]) == 4.0
+    # same estimator -> means agree within noise
+    m1 = float(jnp.mean(accum.resolve(f1)))
+    m2 = float(jnp.mean(accum.resolve(f2)))
+    assert abs(m1 - m2) < 0.05 * max(m1, 1e-6)

@@ -1,0 +1,120 @@
+"""Command-line renderer: `python -m yulio_raytracer_tpu.api.cli ...`.
+
+Argv is the same token language as `.ecs` files (renderer.cpp:1406-1474):
+
+  cli -c scene.ecs -o out.png                # golden-scene render
+  cli -i scene.obj -vp .. -vi .. -spp 64 -o out.jpg
+  cli scene.dae                              # Yulio FPR stereo pipeline
+                                             # (renderer.cpp:1410-1436)
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+
+    from ..io import ecs as gecs
+    from ..scene import SceneBuilder
+
+    settings = gecs.RenderSettings()
+    sb = SceneBuilder()
+
+    # bare `file.dae` argument -> FPR pipeline with a renderer_settings
+    # sidecar (renderer.cpp:1410-1436)
+    if len(argv) == 1 and argv[0].lower().endswith('.dae'):
+        return _fpr_pipeline(argv[0])
+
+    scene_file = None
+    for i, a in enumerate(argv):
+        if a == '-i' and i + 1 < len(argv):
+            scene_file = argv[i + 1]
+    ts = gecs.TokenStream.from_argv(argv)
+    gecs.parse(ts, settings, sb, '.')
+
+    if settings.stereo:
+        return _stereo_from_settings(settings, sb, scene_file)
+
+    from . import output as goutput
+    scene = sb.commit()
+    out = settings.out_file or 'out.png'
+    t0 = time.time()
+    img, stats = goutput.render_mono(scene, settings, out)
+    if stats:
+        # fps/ms/mrps line (integratorrenderer.cpp:101-111)
+        dt = stats.seconds
+        print(f"render  {1.0 / max(dt, 1e-9):.2f} fps, "
+              f"{dt * 1000.0:.2f} ms, {stats.mrps:.3f} mrps")
+    print(f"wrote {out} ({settings.width}x{settings.height}, "
+          f"{settings.spp} spp) in {time.time() - t0:.1f}s")
+    return 0
+
+
+def _stereo_from_settings(settings, sb, scene_file):
+    from ..cameras import cameras as gcam
+    from . import output as goutput
+    # stereo without collada cameras: one rig at the CLI camera
+    l2w = gcam.look_at(settings.cam_pos, settings.cam_look_at,
+                       settings.cam_up)
+    rigs = [("view", gcam.make_stereo_rig(
+        l2w, up=tuple(settings.cam_up),
+        eye_separation=settings.eye_separation,
+        zero_parallax=settings.zero_parallax,
+        toe_in=settings.toe_in))]
+    base = (os.path.splitext(os.path.basename(scene_file))[0]
+            if scene_file else 'stereo')
+    written, _ = goutput.render_stereo(sb, settings, rigs, base, '.')
+    for w in written:
+        print(f"wrote {w}")
+    return 0
+
+
+def _fpr_pipeline(dae_path: str):
+    """Bare-DAE mode: read `renderer_settings` next to the file when
+    present (renderer.cpp:1410-1436), then run the full stereo pipeline
+    via the session API."""
+    from .session import RenderSession, ParamsRT
+    params = ParamsRT()
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(dae_path)),
+                           'renderer_settings')
+    if os.path.exists(sidecar):
+        for line in open(sidecar):
+            tok = line.split('#')[0].split()
+            if len(tok) >= 2:
+                key, val = tok[0], tok[1]
+                if key in ('size', 'depth', 'spp', 'jpegQuality'):
+                    setattr(params, {'jpegQuality': 'jpeg_quality'}.get(
+                        key, key), int(val))
+                elif key in ('tMaxShadowRay',):
+                    params.t_max_shadow_ray = float(val)
+                elif key in ('waterMark',):
+                    params.watermark = val in ('1', 'true')
+    session = RenderSession()
+    if not session.start(dae_path, params):
+        print(f"error: {session.last_error().name}", file=sys.stderr)
+        return 1
+    last = -1.0
+    import time as _t
+    while True:
+        st = session.status()
+        if st.progress != last:
+            print(f"\r[{st.state.name}] {st.progress * 100:5.1f}%",
+                  end='', flush=True)
+            last = st.progress
+        if st.state.name in ('Done', 'Stopped'):
+            break
+        _t.sleep(0.5)
+    session.wait()
+    print()
+    for w in session.written_files:
+        print(f"wrote {w}")
+    return 0 if session.status().state.name == 'Done' else 1
+
+
+if __name__ == '__main__':
+    sys.exit(main())

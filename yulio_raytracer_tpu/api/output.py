@@ -1,0 +1,147 @@
+"""Output mode: mono frame and stereoscopic cube-map pipelines.
+
+The function equivalents of `renderer.cpp` outputMode (:508-905): render,
+tonemap, watermark, strip assembly, file naming — shared by the CLI and
+the async session API.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..cameras import cameras as gcam
+from ..film import accum, tonemap, stereo_strip
+from ..integrator import pathtracer as pt
+from ..io import ecs as gecs
+from ..io import image as gimage
+from .. import renderer as grenderer
+
+
+def params_from_settings(settings: gecs.RenderSettings) -> pt.PTParams:
+    return pt.PTParams(
+        max_depth=settings.depth if settings.depth >= 0 else 10,
+        min_contribution=settings.min_contribution,
+        t_max_shadow_ray=settings.t_max_shadow_ray,
+        t_max_shadow_jitter=settings.t_max_shadow_jitter,
+        up=tuple(settings.cam_up),
+    )
+
+
+def mono_camera(settings: gecs.RenderSettings):
+    """createCamera (renderer.cpp:310-349): pinhole, or DoF when radius>0."""
+    l2w = gcam.look_at(settings.cam_pos, settings.cam_look_at,
+                       settings.cam_up)
+    aspect = settings.width / settings.height
+    if settings.cam_radius == 0.0:
+        return gcam.Pinhole(l2w, angle=settings.fov, aspect=aspect)
+    return gcam.DepthOfField(l2w, angle=settings.fov, aspect=aspect,
+                             lens_radius=settings.cam_radius,
+                             focal_distance=settings.focal_distance)
+
+
+def render_mono(scene, settings: gecs.RenderSettings, out_file: str,
+                seed: int = 0, progress_cb=None, stop_flag=None):
+    """outputMode mono path (renderer.cpp:882-904): render -o image."""
+    camera = mono_camera(settings)
+    params = params_from_settings(settings)
+    film = None
+    stats_total = None
+    for frame in range(max(settings.num_frames, 1)):
+        film, stats = grenderer.render_frame(
+            scene, camera, params, settings.width, settings.height,
+            settings.spp, film=film, iteration=frame,
+            accumulate=bool(settings.accumulate) or frame == 0,
+            seed=seed, backplate=_bp(settings),
+            progress_cb=progress_cb, stop_flag=stop_flag)
+        stats_total = stats
+    img = tonemap.tonemap(accum.resolve(film), gamma=settings.gamma,
+                          vignetting=settings.vignetting)
+    if out_file:
+        gimage.store(out_file, np.asarray(img),
+                     jpeg_quality=settings.jpeg_quality)
+    return np.asarray(img), stats_total
+
+
+def _bp(settings):
+    import jax.numpy as jnp
+    if settings.backplate is None:
+        return None
+    return jnp.asarray(settings.backplate[..., :3], jnp.float32)
+
+
+def render_stereo(sb, settings: gecs.RenderSettings, rigs,
+                  scene_base: str, out_dir: str = '.',
+                  watermark: Optional[np.ndarray] = None,
+                  seed: int = 0,
+                  stage_cb: Optional[Callable] = None,
+                  progress_cb: Optional[Callable] = None,
+                  stop_flag: Optional[Callable] = None,
+                  debug_faces: bool = False):
+    """The stereoscopic outputMode (renderer.cpp:508-736).
+
+    sb: SceneBuilder (uncommitted — billboards recommit per viewpoint);
+    rigs: list of (camera_name, [12 StereoCube cameras]).
+    Returns list of written strip filenames.
+    """
+    if settings.watermark and watermark is None:
+        watermark = stereo_strip.default_watermark()
+    if not settings.watermark:
+        watermark = None
+
+    # square cube faces (renderer.cpp:529-533)
+    size = max(settings.width, settings.height)
+    params = params_from_settings(settings)
+
+    written = []
+    saved = []
+    total_faces = max(len(rigs) * 12, 1)
+    scene_static = None
+    for ci, (camera_name, cams) in enumerate(rigs):
+        if stop_flag is not None and stop_flag():
+            break
+        # re-orient camera-aligned billboards toward this viewpoint
+        # (rtUpdatePrimitive + rtCommit, renderer.cpp:550-559)
+        origin = np.asarray(cams[0].local2world[3])
+        if sb.has_billboards() or scene_static is None:
+            scene_static = sb.commit(view_pos=origin,
+                                     view_up=settings.cam_up)
+        faces = []
+        for face_index in range(12):
+            if stop_flag is not None and stop_flag():
+                break
+            if stage_cb is not None:
+                stage_cb(ci * 12 + face_index, total_faces)
+            cam = cams[face_index]
+            if settings.toe_in and not cam.toe_in:
+                cam = gcam.StereoCube(
+                    cam.local2world, cam.cube_face_index, cam.origin,
+                    cam.up, cam.scene_scale, cam.eye_separation,
+                    cam.zero_parallax, True, cam.falloff_angle)
+            film, _ = grenderer.render_frame(
+                scene_static, cam, params, size, size, settings.spp,
+                seed=seed, backplate=_bp(settings),
+                progress_cb=(lambda f: progress_cb(
+                    (ci * 12 + face_index + f) / total_faces))
+                if progress_cb else None,
+                stop_flag=stop_flag)
+            img = np.asarray(tonemap.tonemap(accum.resolve(film),
+                                             gamma=settings.gamma,
+                                             vignetting=settings.vignetting))
+            img = stereo_strip.apply_watermark(img, watermark, face_index)
+            faces.append(img)
+            if debug_faces:
+                fn = os.path.join(out_dir, stereo_strip.face_filename(
+                    scene_base, camera_name, face_index))
+                gimage.store(fn, img, jpeg_quality=settings.jpeg_quality)
+                saved.append(fn)
+        if len(faces) == 12:
+            strip = stereo_strip.assemble_strip(faces)
+            fn = os.path.join(out_dir, stereo_strip.strip_filename(
+                scene_base, camera_name))
+            gimage.store(fn, strip, jpeg_quality=settings.jpeg_quality)
+            written.append(fn)
+            saved.append(fn)
+    return written, saved

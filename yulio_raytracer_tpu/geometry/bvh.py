@@ -94,15 +94,83 @@ def _sah_split(lo, hi, cent, idx, nbins=16):
     return axis, idx[sel], idx[~sel]
 
 
+_native = None
+_native_checked = False
+
+
+def _load_native():
+    """ctypes binding to native/libyrt_native.so (the C++ binned-SAH
+    builder — the native-code analog of Embree's rtcCommit build)."""
+    global _native, _native_checked
+    if _native_checked:
+        return _native
+    _native_checked = True
+    import ctypes
+    import os
+    so = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), 'native',
+        'libyrt_native.so')
+    if not os.path.exists(so):
+        return None
+    try:
+        lib = ctypes.CDLL(so)
+        f32p = np.ctypeslib.ndpointer(np.float32, flags='C')
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags='C')
+        i32p = np.ctypeslib.ndpointer(np.int32, flags='C')
+        i64p = np.ctypeslib.ndpointer(np.int64, flags='C')
+        lib.yrt_build_bvh.restype = ctypes.c_int64
+        lib.yrt_build_bvh.argtypes = [
+            f32p, f32p, f32p, u8p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, f32p, f32p, i32p, i32p, i32p, i64p,
+            ctypes.c_int64]
+        _native = lib
+    except OSError:
+        _native = None
+    return _native
+
+
+def build_native(v0, e1, e2, valid, leaf_size=64, nbins=16):
+    """Build via the C++ library; returns None if unavailable."""
+    lib = _load_native()
+    if lib is None:
+        return None
+    t = len(v0)
+    max_nodes = max(2 * t + 8, 64)
+    lo = np.empty((max_nodes, 3), np.float32)
+    hi = np.empty((max_nodes, 3), np.float32)
+    start = np.empty(max_nodes, np.int32)
+    count = np.empty(max_nodes, np.int32)
+    skip = np.empty(max_nodes, np.int32)
+    order = np.empty(t, np.int64)
+    n = lib.yrt_build_bvh(
+        np.ascontiguousarray(v0, np.float32),
+        np.ascontiguousarray(e1, np.float32),
+        np.ascontiguousarray(e2, np.float32),
+        np.ascontiguousarray(valid, np.uint8),
+        t, leaf_size, nbins, lo, hi, start, count, skip, order, max_nodes)
+    if n < 0:
+        return None
+    n = int(n)
+    return FlatBVH(lo[:n].copy(), hi[:n].copy(), start[:n].copy(),
+                   count[:n].copy(), skip[:n].copy(), order, n)
+
+
 def build(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
           valid: np.ndarray | None = None,
-          leaf_size: int = 64, nbins: int = 16) -> FlatBVH:
+          leaf_size: int = 64, nbins: int = 16,
+          use_native: bool = True) -> FlatBVH:
     """Build a flattened skip-pointer BVH over triangles (v0, v0+e1, v0+e2).
 
     Invalid (padding/degenerate) triangles are packed into the final leaf's
     tail positions with empty bounds so they are never hit.
     """
     t = len(v0)
+    if valid is None:
+        valid = np.ones(t, bool)
+    if use_native:
+        nat = build_native(v0, e1, e2, valid, leaf_size, nbins)
+        if nat is not None:
+            return nat
     p1 = v0 + e1
     p2 = v0 + e2
     lo = np.minimum(np.minimum(v0, p1), p2).astype(np.float64)

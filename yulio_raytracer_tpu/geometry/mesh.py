@@ -38,6 +38,12 @@ class HostMesh:
     cull: int = CULL_NONE
     illum_mask: int = -1
     shadow_mask: int = -1
+    # camera-aligned billboards (YULIO_CAMERA_ALIGNED_ meshes): positions
+    # stay in LOCAL space; orig_transform (4,3 row affine) holds the
+    # authored placement whose translation/scale seed the per-view
+    # billboard transform (singleray_device.cpp:354-398)
+    face_camera: bool = False
+    orig_transform: Optional[np.ndarray] = None
 
     def transformed(self, xfm: np.ndarray) -> "HostMesh":
         """Bake an affine transform ((4,3) rows [vx;vy;vz;p]) into vertices,
@@ -53,6 +59,56 @@ class HostMesh:
         return HostMesh(pos.astype(np.float32), self.triangles, nrm,
                         self.texcoords, self.material, self.light, self.cull,
                         self.illum_mask, self.shadow_mask)
+
+
+def billboard_transform(orig_transform: np.ndarray, cam_pos, cam_up
+                        ) -> np.ndarray:
+    """Per-view transform for a camera-aligned billboard, replicating
+    rtUpdatePrimitive (singleray_device.cpp:354-398): orient the local
+    geometry's +z-up plane toward the camera (projected to the floor),
+    keeping the authored position and scale.
+
+    Returns a (4,3) row-convention affine for HostMesh.transformed().
+    """
+    prim_pos = np.asarray(orig_transform[3], np.float64)
+    up = np.asarray(cam_up, np.float64)
+    up = up / max(np.linalg.norm(up), 1e-20)
+    to_eye = np.asarray(cam_pos, np.float64) - prim_pos
+    to_eye[1] = 0.0                      # project onto the floor
+    n = np.linalg.norm(to_eye)
+    to_eye = to_eye / n if n > 0 else np.asarray([0.0, 0.0, 1.0])
+
+    # lookAtPoint(0, toEye, camUp): vz = toEye (affinespace.h:73-78)
+    z = to_eye
+    x = np.cross(up, z)
+    x = x / max(np.linalg.norm(x), 1e-20)
+    y = np.cross(z, x)
+    look = np.stack([x, y, z])            # rows vx, vy, vz
+
+    # rotate -90 deg about `right` to make the quad vertical
+    right = np.cross(up, [0.0, 0.0, 1.0])
+    if np.linalg.norm(right) == 0:
+        right = np.cross(up, [0.0, 1.0, 0.0])
+    if np.linalg.norm(right) == 0:
+        right = np.cross(up, [1.0, 0.0, 0.0])
+    right = right / max(np.linalg.norm(right), 1e-20)
+    c, s = 0.0, -1.0                      # cos(-90), sin(-90)
+    rx, ry, rz = right
+    rot = np.asarray([
+        [c + rx * rx * (1 - c), rx * ry * (1 - c) + rz * s, rx * rz * (1 - c) - ry * s],
+        [ry * rx * (1 - c) - rz * s, c + ry * ry * (1 - c), ry * rz * (1 - c) + rx * s],
+        [rz * rx * (1 - c) + ry * s, rz * ry * (1 - c) - rx * s, c + rz * rz * (1 - c)],
+    ])
+
+    # scale from the authored transform's column lengths (glm::decompose)
+    l = np.asarray(orig_transform[:3], np.float64)
+    scale = np.linalg.norm(l, axis=1)
+    sc = np.diag(scale)
+
+    # embree composition T(primPos) * look * makeVertical * scale applies
+    # right-to-left; in the row-vector convention x' = x @ (S L_vert L_look)
+    lin = sc @ rot @ look
+    return np.concatenate([lin, prim_pos[None]], axis=0).astype(np.float32)
 
 
 @dataclass
@@ -83,10 +139,41 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def to_device(packed: "PackedGeometry") -> dict:
+def woop_matrices(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
+                  valid: np.ndarray) -> np.ndarray:
+    """Precompute per-triangle world->unit-triangle affine transforms for
+    the MXU intersection path (ops/intersect.py woop mode).
+
+    For triangle (v0, e1, e2) with n = cross(e1, e2), the inverse of the
+    column matrix A = [e1 e2 n] maps world points into (u, v, w) where the
+    triangle is {u,v >= 0, u+v <= 1, w = 0}.  Packed as one (4, 3T) f32
+    matrix so a whole ray batch transforms with two matmuls:
+      [o | 1] @ W -> o',   [d | 0] @ W -> d'.
+    Degenerate triangles get zero matrices (they never report hits because
+    d'_z == 0 there).
+    """
+    t = len(v0)
+    a = np.stack([e1, e2, np.cross(e1, e2)], axis=-1).astype(np.float64)
+    det = np.linalg.det(a)
+    ok = np.abs(det) > 1e-18
+    a_safe = np.where(ok[:, None, None], a, np.eye(3)[None])
+    # inv() is column-convention; transpose for the row-vector (x @ M) form
+    m = np.linalg.inv(a_safe).transpose(0, 2, 1)               # (T, 3, 3)
+    m = np.where((ok & valid)[:, None, None], m, 0.0)
+    trans = -np.einsum('tj,tjk->tk', v0, m)                    # (T, 3)
+    w = np.concatenate([m, trans[:, None, :]], axis=1)         # (T, 4, 3)
+    return np.ascontiguousarray(
+        w.transpose(1, 0, 2).reshape(4, 3 * t)).astype(np.float32)
+
+
+def to_device(packed: "PackedGeometry", with_woop: bool = True) -> dict:
     """Upload the packed tables as a jnp dict — the committed scene geometry
     consumed by ops.intersect (the analog of the built Embree RTCScene)."""
     import jax.numpy as jnp
+    if with_woop:
+        return {**to_device(packed, with_woop=False),
+                'woop': jnp.asarray(woop_matrices(
+                    packed.v0, packed.e1, packed.e2, packed.valid))}
     return {
         'v0': jnp.asarray(packed.v0),
         'e1': jnp.asarray(packed.e1),

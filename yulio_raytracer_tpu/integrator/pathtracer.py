@@ -51,6 +51,9 @@ class PTParams:
     t_max_shadow_jitter: float = 0.15
     up: tuple = (0.0, 1.0, 0.0)
     strict_normals: bool = True
+    # when set, the geometry's triangle axis is sharded over this mesh axis
+    # and hits are combined across it (parallel/sharding.py)
+    tri_axis: Optional[str] = None
     # backplate: optional (H, W, 3) image for unbent escaped rays
     # (pathtraceintegrator.cpp:80-84); None disables
 
@@ -71,14 +74,44 @@ def _intersect(scene, org, dirn, tnear, tfar):
     if scene.bvh is not None:
         return ops_t.intersect_bvh(scene.geom, scene.bvh, org, dirn,
                                    tnear, tfar, leaf_size=scene.leaf_size)
+    if 'woop' in scene.geom:
+        return ops_i.intersect_woop(scene.geom, org, dirn, tnear, tfar)
     return ops_i.intersect_brute(scene.geom, org, dirn, tnear, tfar)
 
 
-def _occluded(scene, org, dirn, tnear, tfar):
+def _post_intersect_combined(scene, org, dirn, hit, tri_axis):
+    """post_intersect, combining per-shard closest hits across a sharded
+    triangle axis: all shards end up with the globally-nearest hit's full
+    shading record, so everything downstream of intersection is replicated
+    compute (the cross-shard min is the only collective per bounce)."""
+    dg = ops_i.post_intersect(scene.geom, org, dirn, hit)
+    if tri_axis is None:
+        return hit, dg
+    t_all = jax.lax.all_gather(hit.t, tri_axis)          # (S, R)
+    winner = jnp.argmin(t_all, axis=0)                   # (R,)
+
+    def pick(x):
+        x_all = jax.lax.all_gather(x, tri_axis)
+        idx = winner.reshape((1,) + winner.shape + (1,) * (x.ndim - 1))
+        return jnp.take_along_axis(
+            x_all, idx.astype(jnp.int32), axis=0)[0]
+
+    hit = ops_i.Hit(pick(hit.t), pick(hit.tri), pick(hit.u), pick(hit.v))
+    dg = {k: pick(v) for k, v in dg.items()}
+    return hit, dg
+
+
+def _occluded(scene, org, dirn, tnear, tfar, tri_axis=None):
     if scene.bvh is not None:
-        return ops_t.occluded_bvh(scene.geom, scene.bvh, org, dirn,
-                                  tnear, tfar, leaf_size=scene.leaf_size)
-    return ops_i.occluded_brute(scene.geom, org, dirn, tnear, tfar)
+        occ = ops_t.occluded_bvh(scene.geom, scene.bvh, org, dirn,
+                                 tnear, tfar, leaf_size=scene.leaf_size)
+    elif 'woop' in scene.geom:
+        occ = ops_i.occluded_woop(scene.geom, org, dirn, tnear, tfar)
+    else:
+        occ = ops_i.occluded_brute(scene.geom, org, dirn, tnear, tfar)
+    if tri_axis is not None:
+        occ = jax.lax.psum(occ.astype(jnp.int32), tri_axis) > 0
+    return occ
 
 
 def trace(scene, params: PTParams, org, dirn, seed, pixel_id, sample_id,
@@ -126,7 +159,8 @@ def trace(scene, params: PTParams, org, dirn, seed, pixel_id, sample_id,
                          jnp.zeros((r,)), jnp.full((r,), jnp.inf))
         state = dict(state)
         state['num_rays'] = state['num_rays'] + jnp.sum(active)
-        dg = ops_i.post_intersect(scene.geom, org, dirn, hit)
+        hit, dg = _post_intersect_combined(scene, org, dirn, hit,
+                                           params.tri_axis)
         wo = -dirn
 
         # ---- miss: backplate or environment lights (cpp:79-92) ----
@@ -203,7 +237,7 @@ def trace(scene, params: PTParams, org, dirn, seed, pixel_id, sample_id,
                     0.0)
 
             occ = _occluded(scene, dg['P'], wi, err_eps,
-                            tmax - err_eps)
+                            tmax - err_eps, params.tri_axis)
             state['num_rays'] = state['num_rays'] + jnp.sum(cand)
             lit = cand & ~occ
             contrib = thr * le * brdf / jnp.maximum(pdf, 1e-20)[:, None]

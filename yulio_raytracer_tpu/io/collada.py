@@ -438,20 +438,24 @@ def load_dae(path: str, settings, sb, face_culling_mode: str | None = None,
                     cull = gmesh.CULL_NONE
                 else:
                     cull = gmesh.CULL_BACK if mat_cull else gmesh.CULL_NONE
-                world = m
-                l = world[:3, :3]
-                t = world[:3, 3]
-                pos_w = (pos @ l.T + t).astype(np.float32)
-                linv_t = np.linalg.inv(l).T
-                nrm_w = nrm @ linv_t.T
-                nl = np.linalg.norm(nrm_w, axis=1, keepdims=True)
-                nrm_w = (nrm_w / np.maximum(nl, 1e-20)).astype(np.float32)
                 face_camera = (node_name.startswith(
                     CAMERA_ALIGNED_NODE_PREFIX)
                     or geo_name.startswith(CAMERA_ALIGNED_NODE_PREFIX))
-                hm = gmesh.HostMesh(pos_w, tris, nrm_w, uvc,
-                                    material=mat_idx, cull=cull)
-                hm.face_camera = face_camera
+                world = m
+                row_affine = np.concatenate(
+                    [world[:3, :3].T, world[:3, 3][None]],
+                    axis=0).astype(np.float32)
+                if face_camera:
+                    # billboards stay in local space; re-oriented per view
+                    # (singleray_device.cpp:354-398)
+                    hm = gmesh.HostMesh(pos, tris, nrm, uvc,
+                                        material=mat_idx, cull=cull,
+                                        face_camera=True,
+                                        orig_transform=row_affine)
+                else:
+                    hm = gmesh.HostMesh(pos, tris, nrm, uvc,
+                                        material=mat_idx,
+                                        cull=cull).transformed(row_affine)
                 result.mesh_ids.append(sb.add_mesh(hm))
 
         for ic in _findall(node, 'instance_camera'):

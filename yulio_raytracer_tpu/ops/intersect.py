@@ -142,6 +142,100 @@ def occluded_brute(geom, org, dirn, tnear, tfar, block: int = 512):
     return occ
 
 
+def _woop_block(w4, ng, cull, tri_valid, org, dirn, tnear, tfar):
+    """MXU triangle test: rays against a (4, 3*Tc) block of Woop matrices.
+
+    The two (R,4)x(4,3Tc) matmuls run on the systolic array; everything
+    after is cheap elementwise VPU work.  Returns (t, u, v, ok): (R, Tc).
+    """
+    r = org.shape[0]
+    o4 = jnp.concatenate([org, jnp.ones((r, 1), org.dtype)], axis=-1)
+    d4 = jnp.concatenate([dirn, jnp.zeros((r, 1), dirn.dtype)], axis=-1)
+    ou = jnp.dot(o4, w4, precision=jax.lax.Precision.HIGHEST,
+                 preferred_element_type=jnp.float32)
+    du = jnp.dot(d4, w4, precision=jax.lax.Precision.HIGHEST,
+                 preferred_element_type=jnp.float32)
+    tc = w4.shape[1] // 3
+    ou = ou.reshape(r, tc, 3)
+    du = du.reshape(r, tc, 3)
+    dz = du[..., 2]
+    inv_dz = jnp.where(jnp.abs(dz) > 1e-12, 1.0 / dz, 0.0)
+    t = -ou[..., 2] * inv_dz
+    u = ou[..., 0] + t * du[..., 0]
+    v = ou[..., 1] + t * du[..., 1]
+    # cull: reject back faces (dot(ng, d) >= 0) for cull-enabled tris
+    ng_dot_d = jnp.einsum('tk,rk->rt', ng, dirn,
+                          precision=jax.lax.Precision.HIGHEST)
+    cull_ok = jnp.where(cull[None, :] == 1, ng_dot_d < 0.0, True)
+    ok = ((jnp.abs(dz) > 1e-12)
+          & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+          & (t > tnear[:, None]) & (t < tfar[:, None])
+          & cull_ok & tri_valid[None, :])
+    return t, u, v, ok
+
+
+def intersect_woop(geom, org, dirn, tnear, tfar, block: int = 2048) -> Hit:
+    """Closest hit via the MXU Woop path (requires geom['woop'])."""
+    T = geom['v0'].shape[0]
+    block = min(block, T)
+    nblk = (T + block - 1) // block
+
+    def one_block(base):
+        w4 = jax.lax.dynamic_slice(geom['woop'], (0, 3 * base),
+                                   (4, 3 * block))
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, base, block, axis=0)
+        t, u, v, ok = _woop_block(w4, sl(geom['ng']), sl(geom['cull']),
+                                  sl(geom['valid']), org, dirn, tnear, tfar)
+        t = jnp.where(ok, t, INF)
+        j = jnp.argmin(t, axis=-1)
+        rr = jnp.arange(t.shape[0])
+        tb = t[rr, j]
+        return (tb, jnp.where(jnp.isfinite(tb),
+                              base + j.astype(jnp.int32), -1),
+                u[rr, j], v[rr, j])
+
+    def body(carry, blk):
+        t0, tri0, u0, v0c = carry
+        base = jnp.minimum(blk * block, T - block)
+        t1, tri1, u1, v1 = one_block(base)
+        better = t1 < t0
+        return ((jnp.where(better, t1, t0), jnp.where(better, tri1, tri0),
+                 jnp.where(better, u1, u0), jnp.where(better, v1, v0c)),
+                None)
+
+    r = org.shape[0]
+    init = (jnp.full((r,), INF), jnp.full((r,), -1, jnp.int32),
+            jnp.zeros((r,)), jnp.zeros((r,)))
+    if nblk == 1:
+        (t, tri, u, v), _ = body(init, jnp.int32(0))
+    else:
+        (t, tri, u, v), _ = jax.lax.scan(body, init,
+                                         jnp.arange(nblk, dtype=jnp.int32))
+    return Hit(t, tri, u, v)
+
+
+def occluded_woop(geom, org, dirn, tnear, tfar, block: int = 2048):
+    T = geom['v0'].shape[0]
+    block = min(block, T)
+    nblk = (T + block - 1) // block
+
+    def body(occ, blk):
+        base = jnp.minimum(blk * block, T - block)
+        w4 = jax.lax.dynamic_slice(geom['woop'], (0, 3 * base),
+                                   (4, 3 * block))
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, base, block, axis=0)
+        _, _, _, ok = _woop_block(w4, sl(geom['ng']), sl(geom['cull']),
+                                  sl(geom['valid']), org, dirn, tnear, tfar)
+        return occ | jnp.any(ok, axis=-1), None
+
+    init = jnp.zeros((org.shape[0],), bool)
+    if nblk == 1:
+        occ, _ = body(init, jnp.int32(0))
+    else:
+        occ, _ = jax.lax.scan(body, init, jnp.arange(nblk, dtype=jnp.int32))
+    return occ
+
+
 def post_intersect(geom, org, dirn, hit: Hit):
     """Shading-geometry interpolation — the analog of
     BackendScene::postIntersect + TriangleMesh*::postIntersect

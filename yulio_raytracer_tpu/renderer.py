@@ -29,25 +29,43 @@ DIM_PIXEL = 0
 DIM_LENS = 1
 
 
-@partial(jax.jit, static_argnames=('params', 'spp', 'width', 'height'))
-def _render_chunk(scene, camera, params, width, height, spp,
-                  pixel_ids, sample_ids, seed, backplate=None):
-    """One jitted pass: generate rays for (pixel, sample) pairs and
-    integrate. Returns ((B, 3) radiance, ray count).
-
-    scene and camera are pytrees (arrays = data, config = static metadata),
-    so new camera transforms reuse the compiled executable."""
-    seed = jnp.uint32(seed)
+def _trace_one_sample(scene, camera, params, width, height, spp,
+                      pixel_ids, sample_ids, seed, backplate=None):
+    """Generate + integrate one camera sample per listed pixel."""
     px = (pixel_ids % width).astype(jnp.float32)
     py = (pixel_ids // width).astype(jnp.float32)
     juv = patterns.pixel_sample(seed, pixel_ids, sample_ids, spp, DIM_PIXEL)
     uv = jnp.stack([(px + juv[:, 0]) / width,
                     (py + juv[:, 1]) / height], axis=-1)
-    lens = patterns.sample_2d(seed, pixel_ids, sample_ids, jnp.uint32(DIM_LENS))
+    lens = patterns.sample_2d(seed, pixel_ids, sample_ids,
+                              jnp.uint32(DIM_LENS))
     org, dirn = camera.ray(uv, lens)
     return pathtracer.trace(scene, params, org, dirn, seed,
                             pixel_ids, sample_ids, pixel_uv=uv,
                             backplate=backplate)
+
+
+@partial(jax.jit, static_argnames=('params', 'spp', 'width', 'height',
+                                   'spp_per_pass'))
+def _render_chunk(scene, camera, params, width, height, spp,
+                  pixel_ids, sample0, seed, backplate=None,
+                  spp_per_pass: int = 1):
+    """One jitted pass: `spp_per_pass` camera samples for each listed
+    pixel, accumulated on-device in a lax.scan (one dispatch renders the
+    whole sample chunk).  Returns ((B, 3) radiance SUM, ray count)."""
+    seed = jnp.uint32(seed)
+
+    def body(carry, s):
+        rgb_sum, nrays = carry
+        rgb, nr = _trace_one_sample(scene, camera, params, width, height,
+                                    spp, pixel_ids, sample0 + s, seed,
+                                    backplate)
+        return (rgb_sum + rgb, nrays + nr), None
+
+    init = (jnp.zeros((pixel_ids.shape[0], 3)), jnp.zeros((), jnp.float32))
+    (rgb_sum, nrays), _ = jax.lax.scan(
+        body, init, jnp.arange(spp_per_pass, dtype=jnp.uint32))
+    return rgb_sum, nrays
 
 
 @dataclass
@@ -63,29 +81,44 @@ class FrameStats:
 def render_frame(scene, camera, params, width: int, height: int, spp: int,
                  film: Optional[accum.Film] = None, seed: int = 0,
                  iteration: int = 0, accumulate: bool = True,
-                 max_rays_per_pass: int = 1 << 17,
+                 max_rays_per_pass: Optional[int] = None,
+                 spp_per_pass_cap: int = 8,
                  backplate=None, progress_cb=None, stop_flag=None):
     """Render spp samples/pixel into the film (creating it if needed).
 
     Deterministic per (scene, spp, seed, iteration).  Returns
     (film, FrameStats).  `progress_cb(fraction)` mirrors the reference's
     per-tile progress callback (integratorrenderer.cpp:178).
+
+    Memory scaling: the dense intersector materializes O(rays x
+    tri_block) temporaries, so the per-pass pixel count adapts to the
+    scene's triangle count unless max_rays_per_pass overrides it.
     """
     import time
     if film is None or not accumulate:
         film = accum.create(height, width)
     npix = width * height
+    if max_rays_per_pass is None:
+        t_block = min(max(scene.num_triangles, 1),
+                      scene.leaf_size if scene.bvh is not None else 2048)
+        # ~0.75 GB of f32 intermediates per (rays x block) temp set
+        max_rays_per_pass = int(min(1 << 21, max(1 << 14,
+                                                 (3 << 26) // t_block)))
 
-    # pack as many full-frame sample passes per chunk as the ray budget
-    # allows; otherwise split the frame into pixel ranges
+    # split the frame into pixel ranges; each pass renders as many samples
+    # per pixel as the ray budget allows, fully on-device
     t0 = time.perf_counter()
     total_rays = 0.0
     rgb_flat = film.rgb_sum.reshape(npix, 3)
 
     pix_per_pass = max(min(npix, max_rays_per_pass), 1)
     n_splits = (npix + pix_per_pass - 1) // pix_per_pass
-    work = [(s, k) for s in range(spp) for k in range(n_splits)]
-    for wi, (s, k) in enumerate(work):
+    # spp folding costs no extra memory (the scan reuses one sample's
+    # buffers), it only amortizes dispatch overhead
+    spp_per_pass = max(min(spp, spp_per_pass_cap), 1)
+    n_spp_chunks = (spp + spp_per_pass - 1) // spp_per_pass
+    work = [(c, k) for c in range(n_spp_chunks) for k in range(n_splits)]
+    for wi, (c, k) in enumerate(work):
         if stop_flag is not None and stop_flag():
             break
         lo = k * pix_per_pass
@@ -94,11 +127,14 @@ def render_frame(scene, camera, params, width: int, height: int, spp: int,
         # pad the ragged tail to keep one compiled shape
         ids = lo + (np.arange(pix_per_pass, dtype=np.uint32) % max(count, 1))
         pixel_ids = jnp.asarray(ids)
-        sample_ids = jnp.full((pix_per_pass,),
-                              np.uint32(iteration * spp + s))
+        s0 = c * spp_per_pass
+        nsamp = min(spp_per_pass, spp - s0)
+        sample0 = jnp.full((pix_per_pass,),
+                           np.uint32(iteration * spp + s0))
         rgb, nrays = _render_chunk(scene, camera, params, width, height,
-                                   spp, pixel_ids, sample_ids,
-                                   np.uint32(seed), backplate)
+                                   spp, pixel_ids, sample0,
+                                   np.uint32(seed), backplate,
+                                   spp_per_pass=nsamp)
         rgb = rgb[:count]
         rgb_flat = jax.lax.dynamic_update_slice(
             rgb_flat, jax.lax.dynamic_slice(rgb_flat, (lo, 0),

@@ -67,9 +67,27 @@ class SceneBuilder:
             self.add_mesh(tri)
         return lid
 
+    def has_billboards(self) -> bool:
+        return any(getattr(m, 'face_camera', False) for m in self.meshes)
+
     def commit(self, force_bvh: Optional[bool] = None,
-               leaf_size: int = 64) -> "TpuScene":
-        packed = gmesh.pack_meshes(self.meshes)
+               leaf_size: int = 64, view_pos=None,
+               view_up=(0.0, 1.0, 0.0)) -> "TpuScene":
+        """Commit the staged scene. When camera-aligned billboards exist,
+        view_pos orients them toward that camera origin (the per-view
+        rtUpdatePrimitive + rtCommit of renderer.cpp:550-559)."""
+        meshes = []
+        for m in self.meshes:
+            if getattr(m, 'face_camera', False) and m.orig_transform is not None:
+                if view_pos is not None:
+                    xfm = gmesh.billboard_transform(m.orig_transform,
+                                                    view_pos, view_up)
+                else:
+                    xfm = m.orig_transform
+                meshes.append(m.transformed(xfm))
+            else:
+                meshes.append(m)
+        packed = gmesh.pack_meshes(meshes)
         n_tris = packed.num_triangles
         use_bvh = (force_bvh if force_bvh is not None
                    else n_tris > BRUTE_FORCE_MAX_TRIS)
@@ -81,6 +99,8 @@ class SceneBuilder:
                               leaf_size=leaf_size)
             host = gbvh.permute_geom(host, tree.order)
             bvh_dev = gbvh.to_device(tree)
+        host['woop'] = gmesh.woop_matrices(host['v0'], host['e1'],
+                                           host['e2'], host['valid'])
         geom = {k: jnp.asarray(v) for k, v in host.items()}
 
         lights = [glights.set_scene_bounds(l, packed.bbox_lo, packed.bbox_hi)
