@@ -28,8 +28,8 @@ def main():
     camera = builtin_scenes.cornell_camera(WIDTH, HEIGHT)
     params = pt.PTParams(max_depth=DEPTH)
 
-    # warmup / compile
-    renderer.render_frame(scene, camera, params, WIDTH, HEIGHT, spp=2,
+    # warmup / compile (same static config as the timed frame)
+    renderer.render_frame(scene, camera, params, WIDTH, HEIGHT, spp=SPP,
                           seed=0)
     # timed frame
     film, stats = renderer.render_frame(scene, camera, params, WIDTH,

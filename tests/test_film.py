@@ -49,3 +49,34 @@ def test_to_srgb_u8():
     out = np.asarray(tonemap.to_srgb_u8(rgb))
     assert out.dtype == np.uint8
     np.testing.assert_array_equal(out[0, 0], [0, 128, 255])
+
+
+def test_render_progressive_checkpoint_resume(tmp_path):
+    from yulio_raytracer_tpu.io import builtin_scenes
+    from yulio_raytracer_tpu.integrator import pathtracer as pt
+    from yulio_raytracer_tpu import renderer
+    scene = builtin_scenes.cornell_box(with_boxes=False).commit()
+    cam = builtin_scenes.cornell_camera(16, 16)
+    params = pt.PTParams(max_depth=2)
+    ckpt = str(tmp_path / "film.npz")
+    # run 2 of 4 iterations, interrupt
+    stop_after = [0]
+    def stop():
+        stop_after[0] += 1
+        return stop_after[0] > 2
+    film_a, done = renderer.render_progressive(
+        scene, cam, params, 16, 16, 2, 4, checkpoint_path=ckpt,
+        seed=5, stop_flag=stop)
+    assert done == 2
+    # resume completes the remaining iterations
+    film_b, done_b = renderer.render_progressive(
+        scene, cam, params, 16, 16, 2, 4, checkpoint_path=ckpt, seed=5)
+    assert done_b == 4
+    # equals an uninterrupted 4-iteration run exactly
+    film_ref = None
+    for it in range(4):
+        film_ref, _ = renderer.render_frame(scene, cam, params, 16, 16, 2,
+                                            film=film_ref, iteration=it,
+                                            seed=5)
+    np.testing.assert_allclose(np.asarray(film_b.rgb_sum),
+                               np.asarray(film_ref.rgb_sum), atol=1e-5)

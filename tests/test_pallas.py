@@ -1,0 +1,74 @@
+"""Pallas packet-traversal kernel (interpret mode on the CPU mesh;
+compiled-mode parity is exercised on real TPU by the verify drives)."""
+import numpy as np
+import jax.numpy as jnp
+
+from yulio_raytracer_tpu.geometry import mesh, bvh, primitives
+from yulio_raytracer_tpu.ops import intersect, pallas_traverse as ppt
+
+
+def _build(meshes, leaf_size=8):
+    packed = mesh.pack_meshes(meshes, pad_multiple=64)
+    tree = bvh.build(packed.v0, packed.e1, packed.e2, packed.valid,
+                     leaf_size=leaf_size)
+    host = {k: getattr(packed, k) for k in (
+        'v0', 'e1', 'e2', 'ng', 'vn', 'uv', 'mat_id', 'light_id', 'cull',
+        'illum_mask', 'shadow_mask', 'valid')}
+    host = bvh.permute_geom(host, tree.order)
+    woop = mesh.woop_matrices(host['v0'], host['e1'], host['e2'],
+                              host['valid'])
+    nodes = jnp.asarray(ppt.pack_nodes(tree))
+    tris = jnp.asarray(ppt.pack_tris(woop, host))
+    geom = {k: jnp.asarray(v) for k, v in host.items()}
+    return nodes, tris, geom, tree
+
+
+def test_packet_matches_brute():
+    nodes, tris, geom, _ = _build([
+        primitives.tessellate_sphere([0, 0, 0], 1.0, 12, 16),
+        primitives.quad([-5, -1.2, -5], [5, -1.2, -5], [5, -1.2, 5],
+                        [-5, -1.2, 5]),
+        primitives.single_triangle([2, 0, 0], [3, 0, 0], [2, 1, 0],
+                                   cull=mesh.CULL_BACK),
+    ])
+    rs = np.random.RandomState(0)
+    R = ppt.BLOCK * 2
+    org = jnp.asarray(rs.randn(R, 3).astype(np.float32) * 3)
+    d = rs.randn(R, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    tn = jnp.full((R,), 1e-4)
+    tf = jnp.full((R,), jnp.inf)
+    hit = ppt.intersect_packet(nodes, tris, org, d, tn, tf, max_leaf=8,
+                               interpret=True)
+    ref = intersect.intersect_brute(geom, org, d, tn, tf, block=64)
+    t1 = np.asarray(hit.t)
+    t0 = np.asarray(ref.t)
+    assert (np.isfinite(t1) == np.isfinite(t0)).all()
+    both = np.isfinite(t1)
+    np.testing.assert_allclose(t1[both], t0[both], rtol=1e-4, atol=1e-5)
+    assert (np.asarray(hit.tri)[both] == np.asarray(ref.tri)[both]).mean() \
+        > 0.999
+    # occlusion variant
+    occ = ppt.occluded_packet(nodes, tris, org, d, tn, tf, max_leaf=8,
+                              interpret=True)
+    np.testing.assert_array_equal(np.asarray(occ), np.isfinite(t0))
+
+
+def test_packet_finite_tfar():
+    nodes, tris, geom, _ = _build([
+        primitives.quad([-5, 0, -5], [5, 0, -5], [5, 0, 5], [-5, 0, 5])])
+    R = ppt.BLOCK
+    org = jnp.tile(jnp.asarray([[0.0, 3.0, 0.0]]), (R, 1))
+    d = jnp.tile(jnp.asarray([[0.0, -1.0, 0.0]]), (R, 1))
+    tn = jnp.zeros((R,))
+    # tfar closer than the plane: no hits
+    hit = ppt.intersect_packet(nodes, tris, org, d, tn,
+                               jnp.full((R,), 2.0), max_leaf=8,
+                               interpret=True)
+    assert not bool(hit.valid.any())
+    hit2 = ppt.intersect_packet(nodes, tris, org, d, tn,
+                                jnp.full((R,), 4.0), max_leaf=8,
+                                interpret=True)
+    assert bool(hit2.valid.all())
+    np.testing.assert_allclose(np.asarray(hit2.t), 3.0, atol=1e-5)

@@ -31,16 +31,22 @@ def main(argv=None):
         return _fpr_pipeline(argv[0])
 
     scene_file = None
+    regression_mode = '-regression' in argv
     for i, a in enumerate(argv):
         if a == '-i' and i + 1 < len(argv):
             scene_file = argv[i + 1]
     ts = gecs.TokenStream.from_argv(argv)
     gecs.parse(ts, settings, sb, '.')
 
+    if regression_mode:
+        return _regression_loop(settings)
+
     if settings.stereo:
         return _stereo_from_settings(settings, sb, scene_file)
 
     from . import output as goutput
+    if settings.display:
+        return _display_mode(settings, sb)
     scene = sb.commit()
     out = settings.out_file or 'out.png'
     t0 = time.time()
@@ -53,6 +59,59 @@ def main(argv=None):
     print(f"wrote {out} ({settings.width}x{settings.height}, "
           f"{settings.spp} spp) in {time.time() - t0:.1f}s")
     return 0
+
+
+def _display_mode(settings, sb):
+    """-display: progressive refinement loop (glutdisplay.cpp analog),
+    writing display.png each frame."""
+    from . import output as goutput
+    from . import display as gdisplay
+    scene = sb.commit()
+    camera = goutput.mono_camera(settings)
+    params = goutput.params_from_settings(settings)
+    gdisplay.display_loop(scene, camera, params, settings.width,
+                          settings.height, spp_per_frame=settings.spp,
+                          max_frames=settings.num_frames,
+                          gamma=settings.gamma,
+                          refine=bool(settings.accumulate),
+                          out_path=settings.out_file or 'display.png')
+    return 0
+
+
+def _regression_loop(settings):
+    """-regression: endless random-scene stress mode (regression.cpp)."""
+    from ..utils import regression
+    from . import output as goutput
+    import itertools
+    for seed in itertools.count():
+        sb = regression.create_random_scene(seed)
+        scene = sb.commit()
+        camera = goutput.mono_camera(gecs_default_view(settings))
+        params = goutput.params_from_settings(settings)
+        from .. import renderer as grenderer
+        film, stats = grenderer.render_frame(
+            scene, camera, params, settings.width, settings.height,
+            max(settings.spp, 1), seed=seed)
+        import numpy as np
+        from ..film import accum
+        img = np.asarray(accum.resolve(film))
+        ok = np.isfinite(img).all()
+        print(f"regression scene {seed}: "
+              f"{'ok' if ok else 'NON-FINITE OUTPUT'} "
+              f"({stats.mrps:.2f} mrps)", flush=True)
+        if not ok:
+            return 1
+    return 0
+
+
+def gecs_default_view(settings):
+    """Regression scenes use a fixed orbit camera."""
+    from copy import copy
+    s = copy(settings)
+    s.cam_pos = (0.0, 3.0, -12.0)
+    s.cam_look_at = (0.0, 0.0, 0.0)
+    s.fov = 60.0
+    return s
 
 
 def _stereo_from_settings(settings, sb, scene_file):

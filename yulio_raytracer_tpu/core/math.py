@@ -14,6 +14,7 @@ the MXU for batched points.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -228,6 +229,30 @@ def ray_sphere_tfar(org, direction, center, radius):
 # --------------------------------------------------------------------------
 # misc scalar helpers
 # --------------------------------------------------------------------------
+
+def small_gather(table, idx, threshold: int = 512):
+    """Row-gather from a small table via one-hot matmul.
+
+    Random row gathers are slow on the TPU's (8,128) vector layout; for
+    tables up to a few hundred rows, (R,N) one-hot x (N,K) on the MXU is
+    far faster.  Falls back to a plain gather for big tables.  Exact for
+    integer tables with |values| < 2^24 (f32 matmul of 0/1 weights).
+    """
+    n = table.shape[0]
+    if n > threshold:
+        return table[idx]
+    flat = table.reshape(n, -1)
+    onehot = (idx[:, None] == jax.lax.broadcasted_iota(
+        idx.dtype, (1, n), 1)).astype(jnp.float32)
+    out = jnp.dot(onehot, flat.astype(jnp.float32),
+                  preferred_element_type=jnp.float32)
+    out = out.reshape((idx.shape[0],) + table.shape[1:])
+    if jnp.issubdtype(table.dtype, jnp.integer):
+        return jnp.round(out).astype(table.dtype)
+    if table.dtype == jnp.bool_:
+        return out > 0.5
+    return out.astype(table.dtype)
+
 
 def smoothstep(e0, e1, x):
     t = jnp.clip((x - e0) / (e1 - e0), 0.0, 1.0)

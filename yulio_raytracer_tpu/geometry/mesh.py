@@ -174,7 +174,7 @@ def to_device(packed: "PackedGeometry", with_woop: bool = True) -> dict:
         return {**to_device(packed, with_woop=False),
                 'woop': jnp.asarray(woop_matrices(
                     packed.v0, packed.e1, packed.e2, packed.valid))}
-    return {
+    return add_shade_table({
         'v0': jnp.asarray(packed.v0),
         'e1': jnp.asarray(packed.e1),
         'e2': jnp.asarray(packed.e2),
@@ -187,7 +187,26 @@ def to_device(packed: "PackedGeometry", with_woop: bool = True) -> dict:
         'illum_mask': jnp.asarray(packed.illum_mask),
         'shadow_mask': jnp.asarray(packed.shadow_mask),
         'valid': jnp.asarray(packed.valid),
-    }
+    })
+
+
+def add_shade_table(geom: dict) -> dict:
+    """Pack the per-triangle shading attributes into one (T, 22) f32 table
+    so post_intersect needs a single (fusable, matmul-able) row gather:
+    [ng(3) | vn(9) | uv(6) | mat | light | illum | shadow]."""
+    import jax.numpy as jnp
+    t = geom['ng'].shape[0]
+    geom = dict(geom)
+    geom['shade_tab'] = jnp.concatenate([
+        geom['ng'].astype(jnp.float32),
+        geom['vn'].reshape(t, 9).astype(jnp.float32),
+        geom['uv'].reshape(t, 6).astype(jnp.float32),
+        geom['mat_id'].astype(jnp.float32)[:, None],
+        geom['light_id'].astype(jnp.float32)[:, None],
+        geom['illum_mask'].astype(jnp.float32)[:, None],
+        geom['shadow_mask'].astype(jnp.float32)[:, None],
+    ], axis=1)
+    return geom
 
 
 def pack_meshes(meshes: list[HostMesh], pad_multiple: int = 128) -> PackedGeometry:

@@ -70,7 +70,19 @@ def _bounce_dims(depth):
     return jnp.uint32(16) + jnp.uint32(16) * depth.astype(jnp.uint32)
 
 
+def _use_packet(scene, org):
+    from ..ops import pallas_traverse as ppt
+    return (scene.packet is not None
+            and org.shape[0] % ppt.BLOCK == 0)
+
+
 def _intersect(scene, org, dirn, tnear, tfar):
+    if _use_packet(scene, org):
+        from ..ops import pallas_traverse as ppt
+        return ppt.intersect_packet(
+            scene.packet['nodes'], scene.packet['tris'], org, dirn,
+            tnear, tfar, max_leaf=scene.leaf_size,
+            interpret=jax.default_backend() == 'cpu')
     if scene.bvh is not None:
         return ops_t.intersect_bvh(scene.geom, scene.bvh, org, dirn,
                                    tnear, tfar, leaf_size=scene.leaf_size)
@@ -102,7 +114,13 @@ def _post_intersect_combined(scene, org, dirn, hit, tri_axis):
 
 
 def _occluded(scene, org, dirn, tnear, tfar, tri_axis=None):
-    if scene.bvh is not None:
+    if _use_packet(scene, org):
+        from ..ops import pallas_traverse as ppt
+        occ = ppt.occluded_packet(
+            scene.packet['nodes'], scene.packet['tris'], org, dirn,
+            tnear, tfar, max_leaf=scene.leaf_size,
+            interpret=jax.default_backend() == 'cpu')
+    elif scene.bvh is not None:
         occ = ops_t.occluded_bvh(scene.geom, scene.bvh, org, dirn,
                                  tnear, tfar, leaf_size=scene.leaf_size)
     elif 'woop' in scene.geom:

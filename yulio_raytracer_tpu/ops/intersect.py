@@ -73,17 +73,30 @@ def _mt_block(v0, e1, e2, cull, tri_valid, org, dirn, tnear, tfar):
     return t, u, v, ok
 
 
+def _select_closest(t, u, v, ok, base_index):
+    """Reduce a (R, Tc) candidate block to per-ray closest hits using only
+    lane reductions — TPU-friendly (row gathers like t[r, argmin] are
+    catastrophically slow on the VPU's (8,128) layout)."""
+    tc = t.shape[-1]
+    t = jnp.where(ok, t, INF)
+    tmin = jnp.min(t, axis=-1)                          # (R,)
+    # break exact-t ties by smallest triangle index
+    tie = t == tmin[:, None]
+    idx = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+    big = jnp.int32(2 ** 30)
+    jsel = jnp.min(jnp.where(tie, idx, big), axis=-1)   # (R,)
+    sel = (idx == jsel[:, None]) & tie
+    usel = jnp.sum(jnp.where(sel, u, 0.0), axis=-1)
+    vsel = jnp.sum(jnp.where(sel, v, 0.0), axis=-1)
+    hit = jnp.isfinite(tmin)
+    tri = jnp.where(hit, base_index + jnp.minimum(jsel, tc - 1), -1)
+    return tmin, tri, usel, vsel
+
+
 def _closest_in_block(v0, e1, e2, cull, tri_valid, org, dirn, tnear, tfar,
                       base_index):
     t, u, v, ok = _mt_block(v0, e1, e2, cull, tri_valid, org, dirn, tnear, tfar)
-    t = jnp.where(ok, t, INF)
-    j = jnp.argmin(t, axis=-1)                        # (R,)
-    r = jnp.arange(t.shape[0])
-    tbest = t[r, j]
-    hit = jnp.isfinite(tbest)
-    return (tbest,
-            jnp.where(hit, base_index + j.astype(jnp.int32), -1),
-            u[r, j], v[r, j])
+    return _select_closest(t, u, v, ok, base_index)
 
 
 def intersect_brute(geom, org, dirn, tnear, tfar,
@@ -186,13 +199,7 @@ def intersect_woop(geom, org, dirn, tnear, tfar, block: int = 2048) -> Hit:
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, base, block, axis=0)
         t, u, v, ok = _woop_block(w4, sl(geom['ng']), sl(geom['cull']),
                                   sl(geom['valid']), org, dirn, tnear, tfar)
-        t = jnp.where(ok, t, INF)
-        j = jnp.argmin(t, axis=-1)
-        rr = jnp.arange(t.shape[0])
-        tb = t[rr, j]
-        return (tb, jnp.where(jnp.isfinite(tb),
-                              base + j.astype(jnp.int32), -1),
-                u[rr, j], v[rr, j])
+        return _select_closest(t, u, v, ok, base)
 
     def body(carry, blk):
         t0, tri0, u0, v0c = carry
@@ -245,13 +252,31 @@ def post_intersect(geom, org, dirn, hit: Hit):
     Returns a dict of (R, ...) arrays; contents are undefined for misses
     (callers must mask by hit.valid).
     """
+    from ..core.math import small_gather
     idx = jnp.maximum(hit.tri, 0)
     p = org + hit.t[..., None] * dirn
     p = jnp.where(hit.valid[..., None], p, 0.0)
 
-    ng = geom['ng'][idx]
-    vn = geom['vn'][idx]                  # (R, 3, 3)
-    uvs = geom['uv'][idx]                 # (R, 3, 2)
+    if 'shade_tab' in geom:
+        # one fused row gather of all shading attributes (matmul-lowered
+        # for small scenes — see core.math.small_gather)
+        tab = small_gather(geom['shade_tab'], idx)      # (R, 22)
+        ng = tab[:, 0:3]
+        vn = tab[:, 3:12].reshape(-1, 3, 3)
+        uvs = tab[:, 12:18].reshape(-1, 3, 2)
+        mat_id = jnp.round(tab[:, 18]).astype(jnp.int32)
+        light_id = jnp.round(tab[:, 19]).astype(jnp.int32)
+        illum = jnp.round(tab[:, 20]).astype(jnp.int32)
+        shadow = jnp.round(tab[:, 21]).astype(jnp.int32)
+    else:
+        ng = geom['ng'][idx]
+        vn = geom['vn'][idx]
+        uvs = geom['uv'][idx]
+        mat_id = geom['mat_id'][idx]
+        light_id = geom['light_id'][idx]
+        illum = geom['illum_mask'][idx]
+        shadow = geom['shadow_mask'][idx]
+
     w = (1.0 - hit.u - hit.v)
     ns = (w[..., None] * vn[:, 0] + hit.u[..., None] * vn[:, 1]
           + hit.v[..., None] * vn[:, 2])
@@ -269,8 +294,8 @@ def post_intersect(geom, org, dirn, hit: Hit):
         'Ns': ns,
         'st': st,
         'error': jnp.where(hit.valid, err, 0.0),
-        'mat_id': jnp.where(hit.valid, geom['mat_id'][idx], 0),
-        'light_id': jnp.where(hit.valid, geom['light_id'][idx], -1),
-        'illum_mask': jnp.where(hit.valid, geom['illum_mask'][idx], -1),
-        'shadow_mask': jnp.where(hit.valid, geom['shadow_mask'][idx], -1),
+        'mat_id': jnp.where(hit.valid, mat_id, 0),
+        'light_id': jnp.where(hit.valid, light_id, -1),
+        'illum_mask': jnp.where(hit.valid, illum, -1),
+        'shadow_mask': jnp.where(hit.valid, shadow, -1),
     }

@@ -100,15 +100,23 @@ def intersect_bvh(geom, bvh, org, dirn, tnear, tfar,
         t, u, v, ok = _mt_leaf(v0, e1, e2, cull, tvalid & in_leaf,
                                org, dirn, tnear, jnp.minimum(tfar, t_best))
         ok = ok & do_leaf[:, None]
+        # lane-reduction closest-hit select (no row gathers — see
+        # ops/intersect._select_closest)
         t = jnp.where(ok, t, INF)
-        j = jnp.argmin(t, axis=-1)
-        rr = jnp.arange(r)
-        t_new = t[rr, j]
+        t_new = jnp.min(t, axis=-1)
+        tie = t == t_new[:, None]
+        lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+        lsel = jnp.min(jnp.where(tie, lane, jnp.int32(2 ** 30)), axis=-1)
+        sel = (lane == lsel[:, None]) & tie
         better = t_new < t_best
         t_best = jnp.where(better, t_new, t_best)
-        tri_best = jnp.where(better, idx[rr, j], tri_best)
-        u_best = jnp.where(better, u[rr, j], u_best)
-        v_best = jnp.where(better, v[rr, j], v_best)
+        tri_best = jnp.where(better,
+                             jnp.sum(jnp.where(sel, idx, 0), axis=-1),
+                             tri_best)
+        u_best = jnp.where(better, jnp.sum(jnp.where(sel, u, 0.0), axis=-1),
+                           u_best)
+        v_best = jnp.where(better, jnp.sum(jnp.where(sel, v, 0.0), axis=-1),
+                           v_best)
 
         nxt = jnp.where(box_hit & ~is_leaf, ni + 1, skip)
         node = jnp.where(active, nxt, node)

@@ -83,7 +83,10 @@ def render_frame_sharded(scene, camera, params, width: int, height: int,
         film = accum.create(height, width)
 
     geom = _shard_tri_geom(scene.geom, n_tri)
-    scene = scene.__class__(**{**scene.__dict__, 'geom': geom})
+    # the packet kernel reports global tri ids — incompatible with a
+    # sharded triangle axis, so tri-parallel meshes use the XLA paths
+    scene = scene.__class__(**{**scene.__dict__, 'geom': geom,
+                               'packet': None if n_tri > 1 else scene.packet})
     tri_axis = 'tri' if n_tri > 1 else None
     params = pathtracer.PTParams(**{**params.__dict__,
                                     'tri_axis': tri_axis}) \

@@ -12,6 +12,7 @@ resumable exactly like the reference's precomputed sample chunks
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Optional
@@ -148,3 +149,40 @@ def render_frame(scene, camera, params, width: int, height: int, spp: int,
     jax.block_until_ready(new_film.rgb_sum)
     dt = time.perf_counter() - t0
     return new_film, FrameStats(total_rays, dt)
+
+
+def render_progressive(scene, camera, params, width: int, height: int,
+                       spp_per_iteration: int, iterations: int,
+                       checkpoint_path: Optional[str] = None, seed: int = 0,
+                       progress_cb=None, stop_flag=None):
+    """Progressive refinement with durable checkpoint/resume.
+
+    The reference only kept in-memory accumulation (AccuBuffer +
+    iteration-chunked sample sets, SURVEY.md section 5 'no persistent
+    checkpointing'); here every iteration's film is serialized so a killed
+    job resumes exactly (the sampler draws iteration-keyed chunks of the
+    same deterministic sequence).  Returns (film, completed_iterations).
+    """
+    film = None
+    start_iter = 0
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        d = np.load(checkpoint_path)
+        film = accum.Film(jnp.asarray(d['rgb_sum']),
+                          jnp.asarray(d['weight']))
+        start_iter = int(d['iteration'])
+    for it in range(start_iter, iterations):
+        if stop_flag is not None and stop_flag():
+            break
+        film, _ = render_frame(scene, camera, params, width, height,
+                               spp_per_iteration, film=film, iteration=it,
+                               seed=seed)
+        if checkpoint_path:
+            tmp = checkpoint_path + '.tmp.npz'
+            np.savez(tmp[:-4],  # np.savez appends .npz
+                     rgb_sum=np.asarray(film.rgb_sum),
+                     weight=np.asarray(film.weight), iteration=it + 1)
+            os.replace(tmp, checkpoint_path)
+        if progress_cb is not None:
+            progress_cb((it + 1) / iterations)
+        start_iter = it + 1
+    return film, start_iter

@@ -94,6 +94,7 @@ class SceneBuilder:
 
         host = {k: getattr(packed, k) for k in gbvh._PER_TRIANGLE_KEYS}
         bvh_dev = None
+        packet = None
         if use_bvh:
             tree = gbvh.build(packed.v0, packed.e1, packed.e2, packed.valid,
                               leaf_size=leaf_size)
@@ -101,7 +102,15 @@ class SceneBuilder:
             bvh_dev = gbvh.to_device(tree)
         host['woop'] = gmesh.woop_matrices(host['v0'], host['e1'],
                                            host['e2'], host['valid'])
-        geom = {k: jnp.asarray(v) for k, v in host.items()}
+        if use_bvh:
+            # packed arrays for the Pallas packet-traversal kernel
+            from .ops import pallas_traverse as ppt
+            packet = {
+                'nodes': jnp.asarray(ppt.pack_nodes(tree)),
+                'tris': jnp.asarray(ppt.pack_tris(host['woop'], host)),
+            }
+        geom = gmesh.add_shade_table(
+            {k: jnp.asarray(v) for k, v in host.items()})
 
         lights = [glights.set_scene_bounds(l, packed.bbox_lo, packed.bbox_hi)
                   for l in self.lights]
@@ -118,6 +127,7 @@ class SceneBuilder:
             bbox_lo=tuple(float(x) for x in packed.bbox_lo),
             bbox_hi=tuple(float(x) for x in packed.bbox_hi),
             num_triangles=n_tris,
+            packet=packet,
         )
 
 
@@ -152,6 +162,7 @@ class TpuScene:
     bbox_lo: tuple = field(metadata=dict(static=True))
     bbox_hi: tuple = field(metadata=dict(static=True))
     num_triangles: int = field(metadata=dict(static=True))
+    packet: Optional[dict] = None   # Pallas packet-traversal arrays
 
     @property
     def lights(self):

@@ -24,6 +24,7 @@ A lobe record (arrays shaped (..., L) or (..., L, 3)):
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..core import math as vm
@@ -340,12 +341,16 @@ def sample_lobes(lobes, ns, ng, wo, s2, s1, type_mask: int = ALL):
     pick = jnp.sum((cdf < s1[..., None]).astype(jnp.int32), axis=-1)
     pick = jnp.minimum(pick, L - 1)
 
+    # one-hot selects instead of take_along_axis: slot gathers are slow on
+    # the (8,128) VPU layout, 4-wide masked sums are free
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, t.shape, t.ndim - 1)
+              == pick[..., None])
+
     def take(a):
-        return jnp.take_along_axis(a, pick[..., None], axis=-1)[..., 0]
+        return jnp.sum(jnp.where(onehot, a, jnp.zeros_like(a)), axis=-1)
 
     def take3(a):
-        return jnp.take_along_axis(
-            a, pick[..., None, None], axis=-2)[..., 0, :]
+        return jnp.sum(jnp.where(onehot[..., None], a, 0.0), axis=-2)
 
     sel_prob = take(probs)
     out = {
@@ -354,7 +359,7 @@ def sample_lobes(lobes, ns, ng, wo, s2, s1, type_mask: int = ALL):
         'weight': take3(c),
         'type_bits': take(bits),
         'eta': take(eta_out),
-        'valid': (total[..., 0] > 0.0) & take(good),
+        'valid': (total[..., 0] > 0.0) & jnp.any(onehot & good, axis=-1),
     }
     return out
 

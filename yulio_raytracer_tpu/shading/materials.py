@@ -294,7 +294,29 @@ def build_table(mats: list[MaterialSpec]) -> dict:
         out['medium_in_eta'][i] = ms.medium_in_eta
         out['medium_out_trans'][i] = ms.medium_out_trans
         out['medium_in_trans'][i] = ms.medium_in_trans
-    return {k: jnp.asarray(v) for k, v in out.items()}
+    table = {k: jnp.asarray(v) for k, v in out.items()}
+    # fused (M, K) f32 matrix so per-hit material lookup is ONE row gather
+    # (matmul-lowered for small M — core.math.small_gather)
+    table['mat_tab'] = jnp.concatenate([
+        out['lobe_type'].astype(np.float32),                  # 0:4
+        out['lobe_color'].reshape(m, 12).astype(np.float32),  # 4:16
+        out['lobe_cscale'].astype(np.float32),                # 16:20
+        out['lobe_eta'].astype(np.float32),                   # 20:24
+        out['lobe_exp'].astype(np.float32),                   # 24:28
+        out['lobe_ceta'].reshape(m, 12).astype(np.float32),   # 28:40
+        out['lobe_ck'].reshape(m, 12).astype(np.float32),     # 40:52
+        out['lobe_tex'].astype(np.float32),                   # 52:56
+        out['lobe_texmode'].astype(np.float32),               # 56:60
+        out['lobe_medium'].astype(np.float32),                # 60:64
+        out['s0'].astype(np.float32),                         # 64:66
+        out['ds'].astype(np.float32),                         # 66:68
+        out['media'].astype(np.float32)[:, None],             # 68
+        out['medium_out_eta'].astype(np.float32)[:, None],    # 69
+        out['medium_in_eta'].astype(np.float32)[:, None],     # 70
+        out['medium_out_trans'].astype(np.float32),           # 71:74
+        out['medium_in_trans'].astype(np.float32),            # 74:77
+    ], axis=1)
+    return table
 
 
 def shade_context(table: dict, textable: dict, mat_id, st,
@@ -305,18 +327,37 @@ def shade_context(table: dict, textable: dict, mat_id, st,
     (the ray's current medium, for glass direction resolution).
     Returns (lobes dict with (R, L[,3]) arrays, aux dict).
     """
+    from ..core.math import small_gather
     mid = jnp.maximum(mat_id, 0)
-    g = lambda k: table[k][mid]
-    ltype = g('lobe_type')
-    base = g('lobe_color')
-    cscale = g('lobe_cscale')[..., None]
-    tex_id = g('lobe_tex')
-    mode = g('lobe_texmode')
+    r = mid.shape[0]
+    tab = small_gather(table['mat_tab'], mid)       # (R, 77), one gather
+    ltype = jnp.round(tab[:, 0:4]).astype(jnp.int32)
+    base = tab[:, 4:16].reshape(r, 4, 3)
+    cscale = tab[:, 16:20][..., None]
+    eta0 = tab[:, 20:24]
+    exp_ = tab[:, 24:28]
+    ceta = tab[:, 28:40].reshape(r, 4, 3)
+    ck = tab[:, 40:52].reshape(r, 4, 3)
+    tex_id = jnp.round(tab[:, 52:56]).astype(jnp.int32)
+    mode = jnp.round(tab[:, 56:60]).astype(jnp.int32)
+    lobe_medium = jnp.round(tab[:, 60:64]).astype(jnp.int32)
+    s0 = tab[:, 64:66]
+    ds = tab[:, 66:68]
+    media = tab[:, 68]
+    out_eta = tab[:, 69]
+    in_eta = tab[:, 70]
+    out_trans = tab[:, 71:74]
+    in_trans = tab[:, 74:77]
 
-    uv = g('ds') * st + g('s0')                     # (R, 2)
-    texel = jnp.where((tex_id >= 0)[..., None],
-                      jnp_fetch(textable, tex_id, uv),
-                      jnp.asarray([1.0, 1.0, 1.0, 1.0]))
+    uv = ds * st + s0                               # (R, 2)
+    if textable['data'].shape[0] <= 1:
+        # textureless scene (only the 1x1 white fallback exists): the
+        # fetch would be pure gather overhead
+        texel = jnp.ones(tex_id.shape + (4,))
+    else:
+        texel = jnp.where((tex_id >= 0)[..., None],
+                          jnp_fetch(textable, tex_id, uv),
+                          jnp.asarray([1.0, 1.0, 1.0, 1.0]))
     rgb = texel[..., :3]
     a = texel[..., 3:4]
     has_tex = (tex_id >= 0)[..., None]
@@ -339,27 +380,24 @@ def shade_context(table: dict, textable: dict, mat_id, st,
     # medium-sensitive relative IOR (dielectric.h:59-66): the lobe's stored
     # eta is the outside->inside ratio; flip it when the ray currently
     # travels in the inside medium
-    in_eta = table['medium_in_eta'][mid]
-    in_trans = table['medium_in_trans'][mid]
     inside = (jnp.abs(medium_eta - in_eta) < 1e-6) & jnp.all(
         jnp.abs(medium_trans - in_trans) < 1e-6, axis=-1)
-    eta0 = g('lobe_eta')
-    eta = jnp.where((g('lobe_medium') != 0) & inside[..., None],
+    eta = jnp.where((lobe_medium != 0) & inside[..., None],
                     1.0 / jnp.maximum(eta0, 1e-6), eta0)
 
     lobed = {
         'type': ltype,
         'color': color,
         'eta': eta,
-        'exp': g('lobe_exp'),
-        'ceta': g('lobe_ceta'),
-        'ck': g('lobe_ck'),
+        'exp': exp_,
+        'ceta': ceta,
+        'ck': ck,
     }
     aux = {
-        'is_media_interface': table['media'][mid] != 0,
-        'medium_out_eta': table['medium_out_eta'][mid],
+        'is_media_interface': media != 0,
+        'medium_out_eta': out_eta,
         'medium_in_eta': in_eta,
-        'medium_out_trans': table['medium_out_trans'][mid],
+        'medium_out_trans': out_trans,
         'medium_in_trans': in_trans,
         'inside': inside,
     }
