@@ -103,3 +103,42 @@ def test_reference_model_ecs_parses_if_available():
     # scene contains the glass sphere + floor + HDRI light
     kinds = [l['kind'] for l in sb.lights]
     assert 'hdri' in kinds
+
+
+def test_all_reference_ecs_parse():
+    """Every golden .ecs in the reference tree parses (geometry blobs may
+    be stripped — scene files that reference them are skipped)."""
+    ref = "/root/reference/models"
+    if not os.path.isdir(ref):
+        pytest.skip("reference models not present")
+    parsed = 0
+    for fn in sorted(os.listdir(ref)):
+        if not fn.endswith('.ecs'):
+            continue
+        path = os.path.join(ref, fn)
+        try:
+            settings, sb = ecs.parse_ecs(path)
+            parsed += 1
+        except FileNotFoundError:
+            continue   # references a stripped blob (e.g. cornell_box.obj)
+    assert parsed >= 5
+
+
+def test_reference_xml_scenes_load():
+    ref = "/root/reference/models"
+    if not os.path.isdir(ref):
+        pytest.skip("reference models not present")
+    from yulio_raytracer_tpu.io import xml_scene
+    ok = 0
+    for fn in ('sphere_glass.xml', 'sphere_mirror.xml',
+               'sphere_carpaint.xml', 'cornell_box_spheres.xml',
+               'test_stereo.xml', 'test_transmissive.xml',
+               'sphere_motion.xml'):
+        path = os.path.join(ref, fn)
+        if not os.path.exists(path):
+            continue
+        sb = SceneBuilder()
+        xml_scene.load_xml(path, sb)
+        assert len(sb.meshes) > 0 or len(sb.lights) > 0, fn
+        ok += 1
+    assert ok >= 5

@@ -260,7 +260,7 @@ def build(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
 
 _PER_TRIANGLE_KEYS = frozenset({
     'v0', 'e1', 'e2', 'ng', 'vn', 'uv', 'mat_id', 'light_id', 'cull',
-    'illum_mask', 'shadow_mask', 'valid'})
+    'illum_mask', 'shadow_mask', 'valid', 'mv0', 'me1', 'me2'})
 
 
 def permute_geom(geom: dict, order: np.ndarray) -> dict:

@@ -33,6 +33,7 @@ class HostMesh:
     triangles: np.ndarray            # (T, 3) i32
     normals: Optional[np.ndarray] = None    # (V, 3) f32 or None
     texcoords: Optional[np.ndarray] = None  # (V, 2) f32 or None
+    motions: Optional[np.ndarray] = None    # (V, 3) f32 dP/dt (motion blur)
     material: int = 0
     light: int = -1                  # area-light id or -1
     cull: int = CULL_NONE
@@ -56,9 +57,11 @@ class HostMesh:
             nrm = self.normals @ linv_t
             nlen = np.linalg.norm(nrm, axis=-1, keepdims=True)
             nrm = (nrm / np.maximum(nlen, 1e-20)).astype(np.float32)
+        mot = (np.asarray(self.motions @ l, np.float32)
+               if self.motions is not None else None)
         return HostMesh(pos.astype(np.float32), self.triangles, nrm,
-                        self.texcoords, self.material, self.light, self.cull,
-                        self.illum_mask, self.shadow_mask)
+                        self.texcoords, mot, self.material, self.light,
+                        self.cull, self.illum_mask, self.shadow_mask)
 
 
 def billboard_transform(orig_transform: np.ndarray, cam_pos, cam_up
@@ -129,6 +132,11 @@ class PackedGeometry:
     valid: np.ndarray       # (T,) bool — padding/degenerate mask
     bbox_lo: np.ndarray     # (3,) f32 scene bounds
     bbox_hi: np.ndarray     # (3,) f32
+    # motion blur (None when no mesh moves): positions(t) = v0 + t*mv0 ...
+    # (trianglemesh_full.cpp:29-33 'motions' arrays; -accel bvh4mb scenes)
+    mv0: Optional[np.ndarray] = None   # (T, 3)
+    me1: Optional[np.ndarray] = None
+    me2: Optional[np.ndarray] = None
 
     @property
     def num_triangles(self) -> int:
@@ -214,6 +222,9 @@ def pack_meshes(meshes: list[HostMesh], pad_multiple: int = 128) -> PackedGeomet
     triangle axis tiles cleanly onto the 8x128 VPU / 128x128 MXU."""
     v0s, e1s, e2s, vns, uvs = [], [], [], [], []
     mats, lights, culls, ims, sms = [], [], [], [], []
+    movs = []
+    any_motion = any(m.motions is not None and len(m.motions)
+                     for m in meshes)
     for m in meshes:
         pos = np.asarray(m.positions, np.float32)
         tri = np.asarray(m.triangles, np.int64)
@@ -223,6 +234,13 @@ def pack_meshes(meshes: list[HostMesh], pad_multiple: int = 128) -> PackedGeomet
         v0s.append(p0)
         e1s.append(p1 - p0)
         e2s.append(p2 - p0)
+        if any_motion:
+            if m.motions is not None and len(m.motions):
+                mo = np.asarray(m.motions, np.float32)
+                m0, m1, m2 = mo[tri[:, 0]], mo[tri[:, 1]], mo[tri[:, 2]]
+            else:
+                m0 = m1 = m2 = np.zeros((len(tri), 3), np.float32)
+            movs.append((m0, m1 - m0, m2 - m0))
         if m.normals is not None and len(m.normals):
             n = np.asarray(m.normals, np.float32)
             vns.append(np.stack([n[tri[:, 0]], n[tri[:, 1]], n[tri[:, 2]]], axis=1))
@@ -296,4 +314,10 @@ def pack_meshes(meshes: list[HostMesh], pad_multiple: int = 128) -> PackedGeomet
         valid=_pad(valid, fill=False),
         bbox_lo=bb_lo.astype(np.float32),
         bbox_hi=bb_hi.astype(np.float32),
+        mv0=_pad(np.concatenate([x[0] for x in movs]).astype(np.float32))
+        if movs else None,
+        me1=_pad(np.concatenate([x[1] for x in movs]).astype(np.float32))
+        if movs else None,
+        me2=_pad(np.concatenate([x[2] for x in movs]).astype(np.float32))
+        if movs else None,
     )

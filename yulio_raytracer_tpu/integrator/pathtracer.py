@@ -76,7 +76,11 @@ def _use_packet(scene, org):
             and org.shape[0] % ppt.BLOCK == 0)
 
 
-def _intersect(scene, org, dirn, tnear, tfar):
+def _intersect(scene, org, dirn, tnear, tfar, time=None):
+    if 'mv0' in scene.geom and time is not None:
+        # motion blur: time-aware dense path (sphere_motion scenes)
+        return ops_i.intersect_brute(scene.geom, org, dirn, tnear, tfar,
+                                     time=time)
     if _use_packet(scene, org):
         from ..ops import pallas_traverse as ppt
         return ppt.intersect_packet(
@@ -113,8 +117,11 @@ def _post_intersect_combined(scene, org, dirn, hit, tri_axis):
     return hit, dg
 
 
-def _occluded(scene, org, dirn, tnear, tfar, tri_axis=None):
-    if _use_packet(scene, org):
+def _occluded(scene, org, dirn, tnear, tfar, tri_axis=None, time=None):
+    if 'mv0' in scene.geom and time is not None:
+        occ = ops_i.occluded_brute(scene.geom, org, dirn, tnear, tfar,
+                                   time=time)
+    elif _use_packet(scene, org):
         from ..ops import pallas_traverse as ppt
         occ = ppt.occluded_packet(
             scene.packet['nodes'], scene.packet['tris'], org, dirn,
@@ -133,7 +140,7 @@ def _occluded(scene, org, dirn, tnear, tfar, tri_axis=None):
 
 
 def trace(scene, params: PTParams, org, dirn, seed, pixel_id, sample_id,
-          pixel_uv=None, backplate=None):
+          pixel_uv=None, backplate=None, time=None):
     """Estimate radiance along primary rays.
 
     org/dirn: (R, 3); pixel_id/sample_id: (R,) uint32 (RNG keys);
@@ -174,7 +181,8 @@ def trace(scene, params: PTParams, org, dirn, seed, pixel_id, sample_id,
         active = active & (jnp.max(thr, axis=-1) >= params.min_contribution)
 
         hit = _intersect(scene, org, dirn,
-                         jnp.zeros((r,)), jnp.full((r,), jnp.inf))
+                         jnp.zeros((r,)), jnp.full((r,), jnp.inf),
+                         time=time)
         state = dict(state)
         state['num_rays'] = state['num_rays'] + jnp.sum(active)
         hit, dg = _post_intersect_combined(scene, org, dirn, hit,
@@ -255,7 +263,7 @@ def trace(scene, params: PTParams, org, dirn, seed, pixel_id, sample_id,
                     0.0)
 
             occ = _occluded(scene, dg['P'], wi, err_eps,
-                            tmax - err_eps, params.tri_axis)
+                            tmax - err_eps, params.tri_axis, time=time)
             state['num_rays'] = state['num_rays'] + jnp.sum(cand)
             lit = cand & ~occ
             contrib = thr * le * brdf / jnp.maximum(pdf, 1e-20)[:, None]

@@ -206,9 +206,11 @@ class XMLSceneLoader:
             nrm = self._array(el.find('normals'), 3, np.float32)
             uv = self._array(el.find('texcoords'), 2, np.float32)
             tris = self._array(el.find('triangles'), 3, np.int32)
+            mot = self._array(el.find('motions'), 3, np.float32)
             m = HostMesh(pos, tris.astype(np.int32),
                          nrm if len(nrm) else None,
-                         uv if len(uv) else None, material=mat)
+                         uv if len(uv) else None, material=mat,
+                         motions=mot if len(mot) else None)
             self.sb.add_mesh(m.transformed(top.astype(np.float32)))
             return
         if tag == 'Sphere':
@@ -218,6 +220,11 @@ class XMLSceneLoader:
             nt = int(_body_floats(el.find('numTheta'))[0])
             nph = int(_body_floats(el.find('numPhi'))[0])
             m = primitives.tessellate_sphere(p, r, nt, nph, material=mat)
+            mo = el.find('motion')
+            if mo is not None:
+                # constant per-vertex motion dPdt (shapes/sphere.h dPdt)
+                dpdt = np.asarray(_body_floats(mo), np.float32)
+                m.motions = np.tile(dpdt[None, :], (len(m.positions), 1))
             self.sb.add_mesh(m.transformed(top.astype(np.float32)))
             return
         if tag == 'Disk':

@@ -41,10 +41,13 @@ class Hit(NamedTuple):
         return self.tri >= 0
 
 
-def _mt_block(v0, e1, e2, cull, tri_valid, org, dirn, tnear, tfar):
+def _mt_block(v0, e1, e2, cull, tri_valid, org, dirn, tnear, tfar,
+              motion=None, time=None):
     """Moller-Trumbore of R rays against a (Tc,) triangle block.
 
     org/dirn: (R, 3); v0/e1/e2: (Tc, 3). Returns (t, u, v, ok): (R, Tc).
+    With motion=(mv0, me1, me2) and time (R,), vertices move linearly:
+    v(t) = v + t * m (the bvh4mb motion-blur model).
     """
     # broadcast (R, 1, 3) x (1, Tc, 3)
     o = org[:, None, :]
@@ -52,6 +55,11 @@ def _mt_block(v0, e1, e2, cull, tri_valid, org, dirn, tnear, tfar):
     v0b = v0[None, :, :]
     e1b = e1[None, :, :]
     e2b = e2[None, :, :]
+    if motion is not None:
+        tb = time[:, None, None]
+        v0b = v0b + tb * motion[0][None]
+        e1b = e1b + tb * motion[1][None]
+        e2b = e2b + tb * motion[2][None]
 
     pvec = jnp.cross(d, e2b)                       # (R, Tc, 3)
     det = jnp.sum(e1b * pvec, axis=-1)             # (R, Tc)
@@ -94,17 +102,19 @@ def _select_closest(t, u, v, ok, base_index):
 
 
 def _closest_in_block(v0, e1, e2, cull, tri_valid, org, dirn, tnear, tfar,
-                      base_index):
-    t, u, v, ok = _mt_block(v0, e1, e2, cull, tri_valid, org, dirn, tnear, tfar)
+                      base_index, motion=None, time=None):
+    t, u, v, ok = _mt_block(v0, e1, e2, cull, tri_valid, org, dirn,
+                            tnear, tfar, motion, time)
     return _select_closest(t, u, v, ok, base_index)
 
 
 def intersect_brute(geom, org, dirn, tnear, tfar,
-                    block: int = 512) -> Hit:
+                    block: int = 512, time=None) -> Hit:
     """Closest hit of each ray against ALL triangles (chunked scan)."""
     T = geom['v0'].shape[0]
     block = min(block, T)
     nblk = (T + block - 1) // block
+    has_motion = 'mv0' in geom and time is not None
 
     def body(carry, blk):
         t0, tri0, u0, v0c = carry
@@ -112,10 +122,12 @@ def intersect_brute(geom, org, dirn, tnear, tfar,
         # divide T — re-testing a few triangles is harmless for closest-hit
         base = jnp.minimum(blk * block, T - block)
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, base, block, axis=0)
+        motion = ((sl(geom['mv0']), sl(geom['me1']), sl(geom['me2']))
+                  if has_motion else None)
         t1, tri1, u1, v1 = _closest_in_block(
             sl(geom['v0']), sl(geom['e1']), sl(geom['e2']),
             sl(geom['cull']), sl(geom['valid']),
-            org, dirn, tnear, tfar, base)
+            org, dirn, tnear, tfar, base, motion, time)
         better = t1 < t0
         return ((jnp.where(better, t1, t0),
                  jnp.where(better, tri1, tri0),
@@ -133,18 +145,23 @@ def intersect_brute(geom, org, dirn, tnear, tfar,
     return Hit(t, tri, u, v)
 
 
-def occluded_brute(geom, org, dirn, tnear, tfar, block: int = 512):
+def occluded_brute(geom, org, dirn, tnear, tfar, block: int = 512,
+                   time=None):
     """Any-hit test (rtcOccluded): (R,) bool, honoring cull filters."""
     T = geom['v0'].shape[0]
     block = min(block, T)
     nblk = (T + block - 1) // block
+    has_motion = 'mv0' in geom and time is not None
 
     def body(occ, blk):
         base = jnp.minimum(blk * block, T - block)
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, base, block, axis=0)
+        motion = ((sl(geom['mv0']), sl(geom['me1']), sl(geom['me2']))
+                  if has_motion else None)
         _, _, _, ok = _mt_block(sl(geom['v0']), sl(geom['e1']),
                                 sl(geom['e2']), sl(geom['cull']),
-                                sl(geom['valid']), org, dirn, tnear, tfar)
+                                sl(geom['valid']), org, dirn, tnear, tfar,
+                                motion, time)
         return occ | jnp.any(ok, axis=-1), None
 
     init = jnp.zeros((org.shape[0],), bool)

@@ -28,6 +28,7 @@ from .sampling import patterns
 # RNG dims reserved for the camera
 DIM_PIXEL = 0
 DIM_LENS = 1
+DIM_TIME = 2   # motion-blur time sample (sampler.h getTime)
 
 
 def _trace_one_sample(scene, camera, params, width, height, spp,
@@ -41,9 +42,12 @@ def _trace_one_sample(scene, camera, params, width, height, spp,
     lens = patterns.sample_2d(seed, pixel_ids, sample_ids,
                               jnp.uint32(DIM_LENS))
     org, dirn = camera.ray(uv, lens)
+    time = (patterns.sample_1d(seed, pixel_ids, sample_ids,
+                               jnp.uint32(DIM_TIME))
+            if 'mv0' in scene.geom else None)
     return pathtracer.trace(scene, params, org, dirn, seed,
                             pixel_ids, sample_ids, pixel_uv=uv,
-                            backplate=backplate)
+                            backplate=backplate, time=time)
 
 
 @partial(jax.jit, static_argnames=('params', 'spp', 'width', 'height',
@@ -149,6 +153,20 @@ def render_frame(scene, camera, params, width: int, height: int, spp: int,
     jax.block_until_ready(new_film.rgb_sum)
     dt = time.perf_counter() - t0
     return new_film, FrameStats(total_rays, dt)
+
+
+def pick(scene, camera, x: float, y: float):
+    """rtPick (singleray_device.cpp:692-708): trace one ray through pixel
+    (x, y) in [0,1]^2 and return (hit: bool, p: (3,) world point) — used by
+    the interactive display for navigation focus."""
+    from .integrator.pathtracer import _intersect
+    uv = jnp.asarray([[x, y]], jnp.float32)
+    org, dirn = camera.ray(uv, jnp.full((1, 2), 0.5))
+    hit = _intersect(scene, org, dirn, jnp.zeros((1,)),
+                     jnp.full((1,), jnp.inf))
+    p = org[0] + hit.t[0] * dirn[0]
+    ok = bool(hit.valid[0])
+    return ok, (np.asarray(p) if ok else np.zeros(3, np.float32))
 
 
 def render_progressive(scene, camera, params, width: int, height: int,

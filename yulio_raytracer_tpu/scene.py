@@ -89,10 +89,16 @@ class SceneBuilder:
                 meshes.append(m)
         packed = gmesh.pack_meshes(meshes)
         n_tris = packed.num_triangles
-        use_bvh = (force_bvh if force_bvh is not None
-                   else n_tris > BRUTE_FORCE_MAX_TRIS)
+        has_motion = packed.mv0 is not None
+        # motion scenes go through the time-aware dense intersector (the
+        # static BVH bounds don't cover moving geometry; the reference
+        # used Embree's bvh4mb there)
+        use_bvh = (False if has_motion
+                   else (force_bvh if force_bvh is not None
+                         else n_tris > BRUTE_FORCE_MAX_TRIS))
 
-        host = {k: getattr(packed, k) for k in gbvh._PER_TRIANGLE_KEYS}
+        host = {k: getattr(packed, k) for k in gbvh._PER_TRIANGLE_KEYS
+                if getattr(packed, k) is not None}
         bvh_dev = None
         packet = None
         if use_bvh:
