@@ -72,3 +72,35 @@ def test_packet_finite_tfar():
                                 interpret=True)
     assert bool(hit2.valid.all())
     np.testing.assert_allclose(np.asarray(hit2.t), 3.0, atol=1e-5)
+
+
+def test_dense_kernel_matches_brute():
+    from yulio_raytracer_tpu.ops import pallas_dense as ppd
+    packed = mesh.pack_meshes([
+        primitives.tessellate_sphere([0, 0, 0], 1.0, 10, 12),
+        primitives.quad([-5, -1.2, -5], [5, -1.2, -5], [5, -1.2, 5],
+                        [-5, -1.2, 5]),
+        primitives.single_triangle([2, 0, 0], [3, 0, 0], [2, 1, 0],
+                                   cull=mesh.CULL_BACK)], pad_multiple=64)
+    host = {k: getattr(packed, k) for k in (
+        'v0', 'e1', 'e2', 'ng', 'vn', 'uv', 'mat_id', 'light_id', 'cull',
+        'illum_mask', 'shadow_mask', 'valid')}
+    woop = mesh.woop_matrices(packed.v0, packed.e1, packed.e2, packed.valid)
+    tris = jnp.asarray(ppt.pack_tris(woop, host))
+    geom = {k: jnp.asarray(v) for k, v in host.items()}
+    rs = np.random.RandomState(3)
+    R = ppd.BLOCK
+    org = jnp.asarray(rs.randn(R, 3).astype(np.float32) * 3)
+    d = rs.randn(R, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    tn = jnp.full((R,), 1e-4)
+    tf = jnp.full((R,), jnp.inf)
+    hit = ppd.intersect_dense(tris, org, d, tn, tf, interpret=True)
+    ref = intersect.intersect_brute(geom, org, d, tn, tf, block=64)
+    t1 = np.asarray(hit.t)
+    t0 = np.asarray(ref.t)
+    assert (np.isfinite(t1) == np.isfinite(t0)).all()
+    both = np.isfinite(t1)
+    np.testing.assert_allclose(t1[both], t0[both], rtol=1e-4, atol=1e-5)
+    assert (np.asarray(hit.tri)[both] == np.asarray(ref.tri)[both]).all()

@@ -114,3 +114,18 @@ def test_distribution2d_importance():
     dist_u = distribution.build_2d(np.ones((4, 4)))
     _, pdf_u = distribution.sample_2d(dist_u, uv)
     np.testing.assert_allclose(np.asarray(pdf_u), 1.0, rtol=1e-5)
+
+
+def test_bspline_pixel_filter_moments():
+    """Sum-of-4-uniforms B-spline variate: mean 0.5, var 4/12, support
+    within (0.5-2, 0.5+2)."""
+    spp = 4
+    n = 1 << 15
+    pid = jnp.arange(n, dtype=jnp.uint32)
+    sid = jnp.zeros((n,), jnp.uint32)
+    s = np.asarray(patterns.pixel_sample_bspline(jnp.uint32(1), pid, sid,
+                                                 spp))
+    assert s.shape == (n, 2)
+    np.testing.assert_allclose(s.mean(axis=0), 0.5, atol=0.02)
+    np.testing.assert_allclose(s.var(axis=0), 4.0 / 12.0, atol=0.01)
+    assert s.min() > -1.5 and s.max() < 2.5

@@ -55,6 +55,7 @@ def render_mono(scene, settings: gecs.RenderSettings, out_file: str,
             settings.spp, film=film, iteration=frame,
             accumulate=bool(settings.accumulate) or frame == 0,
             seed=seed, backplate=_bp(settings),
+            pixel_filter=settings.pixel_filter,
             progress_cb=progress_cb, stop_flag=stop_flag)
         stats_total = stats
     img = tonemap.tonemap(accum.resolve(film), gamma=settings.gamma,
@@ -123,6 +124,7 @@ def render_stereo(sb, settings: gecs.RenderSettings, rigs,
             film, _ = grenderer.render_frame(
                 scene_static, cam, params, size, size, settings.spp,
                 seed=seed, backplate=_bp(settings),
+                pixel_filter=settings.pixel_filter,
                 progress_cb=(lambda f: progress_cb(
                     (ci * 12 + face_index + f) / total_faces))
                 if progress_cb else None,

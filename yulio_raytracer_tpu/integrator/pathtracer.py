@@ -71,9 +71,12 @@ def _bounce_dims(depth):
 
 
 def _use_packet(scene, org):
+    """Pallas kernels need TPU (tests exercise interpret mode directly)
+    and BLOCK-aligned ray counts."""
     from ..ops import pallas_traverse as ppt
     return (scene.packet is not None
-            and org.shape[0] % ppt.BLOCK == 0)
+            and org.shape[0] % ppt.BLOCK == 0
+            and jax.default_backend() == 'tpu')
 
 
 def _intersect(scene, org, dirn, tnear, tfar, time=None):
@@ -83,10 +86,13 @@ def _intersect(scene, org, dirn, tnear, tfar, time=None):
                                      time=time)
     if _use_packet(scene, org):
         from ..ops import pallas_traverse as ppt
+        from ..ops import pallas_dense as ppd
+        if 'nodes' not in scene.packet:
+            return ppd.intersect_dense(scene.packet['tris'], org, dirn,
+                                       tnear, tfar)
         return ppt.intersect_packet(
             scene.packet['nodes'], scene.packet['tris'], org, dirn,
-            tnear, tfar, max_leaf=scene.leaf_size,
-            interpret=jax.default_backend() == 'cpu')
+            tnear, tfar, max_leaf=scene.leaf_size)
     if scene.bvh is not None:
         return ops_t.intersect_bvh(scene.geom, scene.bvh, org, dirn,
                                    tnear, tfar, leaf_size=scene.leaf_size)
@@ -123,10 +129,14 @@ def _occluded(scene, org, dirn, tnear, tfar, tri_axis=None, time=None):
                                    time=time)
     elif _use_packet(scene, org):
         from ..ops import pallas_traverse as ppt
-        occ = ppt.occluded_packet(
-            scene.packet['nodes'], scene.packet['tris'], org, dirn,
-            tnear, tfar, max_leaf=scene.leaf_size,
-            interpret=jax.default_backend() == 'cpu')
+        from ..ops import pallas_dense as ppd
+        if 'nodes' not in scene.packet:
+            occ = ppd.occluded_dense(scene.packet['tris'], org, dirn,
+                                     tnear, tfar)
+        else:
+            occ = ppt.occluded_packet(
+                scene.packet['nodes'], scene.packet['tris'], org, dirn,
+                tnear, tfar, max_leaf=scene.leaf_size)
     elif scene.bvh is not None:
         occ = ops_t.occluded_bvh(scene.geom, scene.bvh, org, dirn,
                                  tnear, tfar, leaf_size=scene.leaf_size)

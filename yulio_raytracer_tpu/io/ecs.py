@@ -61,6 +61,9 @@ class RenderSettings:
     accumulate: int = 1              # -refine
     display: bool = False
     verbose: int = 0
+    # pixel reconstruction filter: the reference defaults to b-spline
+    # (integratorrenderer.cpp:45-49)
+    pixel_filter: str = 'bspline'
 
 
 class TokenStream:
@@ -277,6 +280,9 @@ def _parse_renderer_block(tokens: TokenStream, settings: RenderSettings,
         elif key == 'backplate':
             settings.backplate = gimage.load(
                 os.path.join(base_path, tokens.get()))
+        elif key == 'filter':
+            settings.pixel_filter = tokens.get().lower().replace(
+                'bsplinefilter', 'bspline').replace('boxfilter', 'box')
         elif key == 'sampler':
             tokens.get()
         else:

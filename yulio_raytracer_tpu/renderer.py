@@ -32,11 +32,17 @@ DIM_TIME = 2   # motion-blur time sample (sampler.h getTime)
 
 
 def _trace_one_sample(scene, camera, params, width, height, spp,
-                      pixel_ids, sample_ids, seed, backplate=None):
+                      pixel_ids, sample_ids, seed, backplate=None,
+                      pixel_filter: str = 'box'):
     """Generate + integrate one camera sample per listed pixel."""
     px = (pixel_ids % width).astype(jnp.float32)
     py = (pixel_ids // width).astype(jnp.float32)
-    juv = patterns.pixel_sample(seed, pixel_ids, sample_ids, spp, DIM_PIXEL)
+    if pixel_filter == 'bspline':
+        juv = patterns.pixel_sample_bspline(seed, pixel_ids, sample_ids,
+                                            spp, DIM_PIXEL)
+    else:
+        juv = patterns.pixel_sample(seed, pixel_ids, sample_ids, spp,
+                                    DIM_PIXEL)
     uv = jnp.stack([(px + juv[:, 0]) / width,
                     (py + juv[:, 1]) / height], axis=-1)
     lens = patterns.sample_2d(seed, pixel_ids, sample_ids,
@@ -51,10 +57,10 @@ def _trace_one_sample(scene, camera, params, width, height, spp,
 
 
 @partial(jax.jit, static_argnames=('params', 'spp', 'width', 'height',
-                                   'spp_per_pass'))
+                                   'spp_per_pass', 'pixel_filter'))
 def _render_chunk(scene, camera, params, width, height, spp,
                   pixel_ids, sample0, seed, backplate=None,
-                  spp_per_pass: int = 1):
+                  spp_per_pass: int = 1, pixel_filter: str = 'box'):
     """One jitted pass: `spp_per_pass` camera samples for each listed
     pixel, accumulated on-device in a lax.scan (one dispatch renders the
     whole sample chunk).  Returns ((B, 3) radiance SUM, ray count)."""
@@ -64,7 +70,7 @@ def _render_chunk(scene, camera, params, width, height, spp,
         rgb_sum, nrays = carry
         rgb, nr = _trace_one_sample(scene, camera, params, width, height,
                                     spp, pixel_ids, sample0 + s, seed,
-                                    backplate)
+                                    backplate, pixel_filter)
         return (rgb_sum + rgb, nrays + nr), None
 
     init = (jnp.zeros((pixel_ids.shape[0], 3)), jnp.zeros((), jnp.float32))
@@ -88,7 +94,8 @@ def render_frame(scene, camera, params, width: int, height: int, spp: int,
                  iteration: int = 0, accumulate: bool = True,
                  max_rays_per_pass: Optional[int] = None,
                  spp_per_pass_cap: int = 8,
-                 backplate=None, progress_cb=None, stop_flag=None):
+                 backplate=None, progress_cb=None, stop_flag=None,
+                 pixel_filter: str = 'box'):
     """Render spp samples/pixel into the film (creating it if needed).
 
     Deterministic per (scene, spp, seed, iteration).  Returns
@@ -139,7 +146,8 @@ def render_frame(scene, camera, params, width: int, height: int, spp: int,
         rgb, nrays = _render_chunk(scene, camera, params, width, height,
                                    spp, pixel_ids, sample0,
                                    np.uint32(seed), backplate,
-                                   spp_per_pass=nsamp)
+                                   spp_per_pass=nsamp,
+                                   pixel_filter=pixel_filter)
         rgb = rgb[:count]
         rgb_flat = jax.lax.dynamic_update_slice(
             rgb_flat, jax.lax.dynamic_slice(rgb_flat, (lo, 0),

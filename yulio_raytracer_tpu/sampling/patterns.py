@@ -44,6 +44,27 @@ def pixel_sample(seed, pixel_id, sample_id, spp: int, dim: int = 0):
     return jnp.stack([u, v], axis=-1)
 
 
+def pixel_sample_bspline(seed, pixel_id, sample_id, spp: int, dim: int = 0):
+    """Cubic B-spline pixel-filter importance sampling — the reference's
+    default filter (integratorrenderer.cpp:45-49, filters/filter.h:25-43).
+
+    A cubic B-spline is the 4-fold convolution of unit boxes, so a filter
+    variate is the sum of four uniforms minus 2 (support [-2, 2]); samples
+    get unit weight because the filter is sampled by importance.  The
+    first pair of uniforms reuses the stratified stratum so spatial
+    stratification is preserved.
+    """
+    s0 = pixel_sample(seed, pixel_id, sample_id, spp, dim)
+    u1 = rng.uniform2(seed, pixel_id, sample_id,
+                      jnp.uint32(dim) ^ jnp.uint32(0x5F375A86))
+    u2 = rng.uniform2(seed, pixel_id, sample_id,
+                      jnp.uint32(dim) ^ jnp.uint32(0x2545F491))
+    u3 = rng.uniform2(seed, pixel_id, sample_id,
+                      jnp.uint32(dim) ^ jnp.uint32(0x9E3779B9))
+    # sum of 4 U(0,1) - 2 ~ cubic B-spline on [-2, 2], centered at 0.5
+    return 0.5 + (s0 + u1 + u2 + u3) - 2.0
+
+
 def sample_2d(seed, pixel_id, sample_id, dim):
     """Unstratified 2D sample for scatter/light dims (sampler.cpp:110-112
     uses jittered 1D/2D; decorrelated hash is the wavefront analog)."""

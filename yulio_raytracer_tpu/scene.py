@@ -108,11 +108,16 @@ class SceneBuilder:
             bvh_dev = gbvh.to_device(tree)
         host['woop'] = gmesh.woop_matrices(host['v0'], host['e1'],
                                            host['e2'], host['valid'])
+        from .ops import pallas_traverse as ppt
         if use_bvh:
             # packed arrays for the Pallas packet-traversal kernel
-            from .ops import pallas_traverse as ppt
             packet = {
                 'nodes': jnp.asarray(ppt.pack_nodes(tree)),
+                'tris': jnp.asarray(ppt.pack_tris(host['woop'], host)),
+            }
+        elif not has_motion:
+            # dense Pallas intersector (no BVH): just the packed tri rows
+            packet = {
                 'tris': jnp.asarray(ppt.pack_tris(host['woop'], host)),
             }
         geom = gmesh.add_shade_table(
