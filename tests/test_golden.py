@@ -1,0 +1,44 @@
+"""Pinned golden-image regression: the CPU render of the cornell golden
+scene is deterministic per (seed, spp); any semantic change to sampling,
+shading, lights or the integrator shows up here (SURVEY.md section 4:
+golden scenes as visual regression)."""
+import os
+
+import numpy as np
+
+from yulio_raytracer_tpu.io import builtin_scenes
+from yulio_raytracer_tpu.integrator import pathtracer as pt
+from yulio_raytracer_tpu import renderer
+from yulio_raytracer_tpu.film import accum
+
+GOLDEN = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), 'assets', 'golden', 'cornell_64_cpu.npz')
+
+
+def _psnr(a, b):
+    mse = ((a - b) ** 2).mean()
+    return 10 * np.log10(max(a.max(), 1e-9) ** 2 / max(mse, 1e-20))
+
+
+def test_cornell_matches_pinned_golden():
+    scene = builtin_scenes.cornell_box().commit()
+    cam = builtin_scenes.cornell_camera(64, 64)
+    film, _ = renderer.render_frame(scene, cam, pt.PTParams(max_depth=4),
+                                    64, 64, spp=32, seed=42)
+    img = np.asarray(accum.resolve(film))
+    golden = np.load(GOLDEN)['img']
+    # deterministic pipeline: tiny numeric drift at most
+    assert _psnr(img, golden) > 60.0
+
+
+def test_different_seed_converges_to_same_image():
+    """Two independent estimators agree within Monte-Carlo noise — the
+    PSNR-style parity gate of BASELINE.md applied CPU-vs-CPU."""
+    scene = builtin_scenes.cornell_box().commit()
+    cam = builtin_scenes.cornell_camera(64, 64)
+    p = pt.PTParams(max_depth=4)
+    f1, _ = renderer.render_frame(scene, cam, p, 64, 64, spp=64, seed=1)
+    f2, _ = renderer.render_frame(scene, cam, p, 64, 64, spp=64, seed=2)
+    a = np.asarray(accum.resolve(f1))
+    b = np.asarray(accum.resolve(f2))
+    assert _psnr(a, b) > 30.0

@@ -236,3 +236,68 @@ def test_has_type():
     lob2, _ = _ctx([mt.make_material('mirror', {})], np.zeros(2, np.int64))
     assert not bool(lb.has_type(lob2, lb.DIFFUSE).any())
     assert bool(lb.has_type(lob2, lb.SPECULAR).all())
+
+
+def test_bump_mapping_perturbs_normal():
+    """Obj map_Bump (obj.h:51-56): a flat bump (0.5,0.5,1) keeps Ns; a
+    tilted bump rotates it toward the tangent."""
+    import jax.numpy as jnp
+    tb = tx.TextureTableBuilder()
+    flat = np.full((2, 2, 4), 0.5, np.float32)
+    flat[..., 2] = 1.0
+    tilt = np.array(flat, copy=True)
+    tilt[..., 0] = 1.0     # b.x = +1 -> lean into Tx
+    t_flat = tb.add(flat, tx.FILTER_NEAREST)
+    t_tilt = tb.add(tilt, tx.FILTER_NEAREST)
+    m_flat = mt.make_material('obj', {'Kd': (0.5,) * 3},
+                              tex_ids={'map_Bump': t_flat})
+    m_tilt = mt.make_material('obj', {'Kd': (0.5,) * 3},
+                              tex_ids={'map_Bump': t_tilt})
+    table = mt.build_table([m_flat, m_tilt])
+    textable = tb.build()
+    n = 4
+    ns = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n, 1))
+    txv = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (n, 1))
+    tyv = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]]), (n, 1))
+    st = jnp.full((n, 2), 0.25)
+    me = jnp.ones((n,))
+    mtr = jnp.ones((n, 3))
+    _, aux0 = mt.shade_context(table, textable,
+                               jnp.zeros((n,), jnp.int32), st, me, mtr,
+                               ns=ns, tx=txv, ty=tyv)
+    np.testing.assert_allclose(np.asarray(aux0['ns']), np.asarray(ns),
+                               atol=1e-6)
+    _, aux1 = mt.shade_context(table, textable,
+                               jnp.ones((n,), jnp.int32), st, me, mtr,
+                               ns=ns, tx=txv, ty=tyv)
+    pert = np.asarray(aux1['ns'][0])
+    np.testing.assert_allclose(pert, [1 / np.sqrt(2), 0, 1 / np.sqrt(2)],
+                               atol=1e-5)
+
+
+def test_brushed_metal_anisotropy():
+    """BrushedMetal: reflected lobes spread differently along Tx vs Ty."""
+    import jax.numpy as jnp
+    n = 1 << 13
+    mats = [mt.make_material('brushedmetal', {
+        'reflectance': (1.0, 1.0, 1.0), 'eta': (1.4,) * 3, 'k': (3.0,) * 3,
+        'roughnessX': 0.5, 'roughnessY': 0.01})]
+    lobed, _ = _ctx(mats, np.zeros(n, np.int64))
+    ns = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n, 1))
+    wo = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n, 1))  # normal view
+    txv = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (n, 1))
+    tyv = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]]), (n, 1))
+    pid = jnp.arange(n, dtype=jnp.uint32)
+    s2 = rng.uniform2(jnp.uint32(5), pid, jnp.uint32(0), jnp.uint32(0))
+    s1 = rng.uniform1(jnp.uint32(5), pid, jnp.uint32(0), jnp.uint32(1))
+    out = lb.sample_lobes(lobed, ns, ns, wo, s2, s1, tx=txv, ty=tyv)
+    wi = np.asarray(out['wi'])
+    ok = np.asarray(out['valid']) & (np.asarray(out['pdf']) > 0)
+    wi = wi[ok]
+    # rough along x (nx small) -> wide x-spread; smooth along y -> narrow
+    assert wi[:, 0].std() > 3.0 * wi[:, 1].std()
+    # energy sane
+    w = np.asarray(out['weight'])[ok][:, 0]
+    p = np.asarray(out['pdf'])[ok]
+    est = (w / p).mean() * ok.mean()
+    assert 0.2 < est <= 1.05

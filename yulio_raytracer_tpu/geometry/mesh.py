@@ -198,13 +198,43 @@ def to_device(packed: "PackedGeometry", with_woop: bool = True) -> dict:
     })
 
 
+def tangent_frames(e1: np.ndarray, e2: np.ndarray, uv: np.ndarray,
+                   ng: np.ndarray) -> tuple:
+    """Per-triangle tangent/bitangent from the uv parameterization
+    (dg.Tx/Ty of trianglemesh_full, used for bump mapping and anisotropic
+    BRDFs).  Falls back to an ng-aligned frame for degenerate uvs."""
+    du1 = uv[:, 1, 0] - uv[:, 0, 0]
+    dv1 = uv[:, 1, 1] - uv[:, 0, 1]
+    du2 = uv[:, 2, 0] - uv[:, 0, 0]
+    dv2 = uv[:, 2, 1] - uv[:, 0, 1]
+    det = du1 * dv2 - du2 * dv1
+    ok = np.abs(det) > 1e-12
+    r = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)[:, None]
+    tx = (e1 * dv2[:, None] - e2 * dv1[:, None]) * r
+    ty = (e2 * du1[:, None] - e1 * du2[:, None]) * r
+    # fallback frame
+    a = np.abs(ng)
+    helper = np.eye(3)[np.argmin(a, axis=1)]
+    fx = np.cross(helper, ng)
+    fx /= np.maximum(np.linalg.norm(fx, axis=1, keepdims=True), 1e-20)
+    fy = np.cross(ng, fx)
+    tx = np.where(ok[:, None], tx, fx)
+    ty = np.where(ok[:, None], ty, fy)
+    ntx = np.linalg.norm(tx, axis=1, keepdims=True)
+    nty = np.linalg.norm(ty, axis=1, keepdims=True)
+    return ((tx / np.maximum(ntx, 1e-20)).astype(np.float32),
+            (ty / np.maximum(nty, 1e-20)).astype(np.float32))
+
+
 def add_shade_table(geom: dict) -> dict:
-    """Pack the per-triangle shading attributes into one (T, 22) f32 table
+    """Pack the per-triangle shading attributes into one (T, 28) f32 table
     so post_intersect needs a single (fusable, matmul-able) row gather:
-    [ng(3) | vn(9) | uv(6) | mat | light | illum | shadow]."""
+    [ng(3) | vn(9) | uv(6) | mat | light | illum | shadow | tx(3) | ty(3)]."""
     import jax.numpy as jnp
     t = geom['ng'].shape[0]
     geom = dict(geom)
+    tx, ty = tangent_frames(np.asarray(geom['e1']), np.asarray(geom['e2']),
+                            np.asarray(geom['uv']), np.asarray(geom['ng']))
     geom['shade_tab'] = jnp.concatenate([
         geom['ng'].astype(jnp.float32),
         geom['vn'].reshape(t, 9).astype(jnp.float32),
@@ -213,6 +243,8 @@ def add_shade_table(geom: dict) -> dict:
         geom['light_id'].astype(jnp.float32)[:, None],
         geom['illum_mask'].astype(jnp.float32)[:, None],
         geom['shadow_mask'].astype(jnp.float32)[:, None],
+        jnp.asarray(tx),
+        jnp.asarray(ty),
     ], axis=1)
     return geom
 

@@ -230,7 +230,10 @@ def trace(scene, params: PTParams, org, dirn, seed, pixel_id, sample_id,
         lobed, aux = gmat.shade_context(scene.materials, scene.textures,
                                         dg['mat_id'], dg['st'],
                                         state['medium_eta'],
-                                        state['medium_trans'])
+                                        state['medium_trans'],
+                                        ns=ns, tx=dg.get('Tx'),
+                                        ty=dg.get('Ty'))
+        ns = aux.get('ns', ns)   # bump-mapped shading normal
 
         # ---- area-light emission (cpp:113-115) ----
         for li, l in enumerate(all_lights):
@@ -296,7 +299,8 @@ def trace(scene, params: PTParams, org, dirn, seed, pixel_id, sample_id,
                           base + jnp.uint32(_DIM_SCATTER))
         s1 = rng.uniform1(seed, pixel_id, sample_id,
                           base + jnp.uint32(_DIM_SCATTER_TYPE))
-        samp = lb.sample_lobes(lobed, ns, ng, wo, s2, s1, lb.ALL)
+        samp = lb.sample_lobes(lobed, ns, ng, wo, s2, s1, lb.ALL,
+                               tx=dg.get('Tx'), ty=dg.get('Ty'))
         cont = cont & samp['valid'] & (samp['pdf'] > 0.0) \
             & jnp.any(samp['weight'] > 0.0, axis=-1)
 

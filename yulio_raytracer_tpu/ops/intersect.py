@@ -277,7 +277,7 @@ def post_intersect(geom, org, dirn, hit: Hit):
     if 'shade_tab' in geom:
         # one fused row gather of all shading attributes (matmul-lowered
         # for small scenes — see core.math.small_gather)
-        tab = small_gather(geom['shade_tab'], idx)      # (R, 22)
+        tab = small_gather(geom['shade_tab'], idx)      # (R, 28)
         ng = tab[:, 0:3]
         vn = tab[:, 3:12].reshape(-1, 3, 3)
         uvs = tab[:, 12:18].reshape(-1, 3, 2)
@@ -285,6 +285,8 @@ def post_intersect(geom, org, dirn, hit: Hit):
         light_id = jnp.round(tab[:, 19]).astype(jnp.int32)
         illum = jnp.round(tab[:, 20]).astype(jnp.int32)
         shadow = jnp.round(tab[:, 21]).astype(jnp.int32)
+        tx = tab[:, 22:25]
+        ty = tab[:, 25:28]
     else:
         ng = geom['ng'][idx]
         vn = geom['vn'][idx]
@@ -293,6 +295,7 @@ def post_intersect(geom, org, dirn, hit: Hit):
         light_id = geom['light_id'][idx]
         illum = geom['illum_mask'][idx]
         shadow = geom['shadow_mask'][idx]
+        tx = ty = None
 
     w = (1.0 - hit.u - hit.v)
     ns = (w[..., None] * vn[:, 0] + hit.u[..., None] * vn[:, 1]
@@ -305,7 +308,7 @@ def post_intersect(geom, org, dirn, hit: Hit):
     # error estimate: max |coordinate| used to scale intersection epsilon
     # (reference postIntersect sets dg.error = max(|P|, tfar))
     err = jnp.maximum(jnp.max(jnp.abs(p), axis=-1), jnp.abs(hit.t))
-    return {
+    out = {
         'P': p,
         'Ng': ng,
         'Ns': ns,
@@ -316,3 +319,7 @@ def post_intersect(geom, org, dirn, hit: Hit):
         'illum_mask': jnp.where(hit.valid, illum, -1),
         'shadow_mask': jnp.where(hit.valid, shadow, -1),
     }
+    if tx is not None:
+        out['Tx'] = tx
+        out['Ty'] = ty
+    return out

@@ -46,7 +46,10 @@ TRANSMISSION = 11
 MICROFACET_DIELECTRIC = 12
 MICROFACET_CONDUCTOR = 13
 SPECULAR_PHONG = 14
-NUM_LOBE_TYPES = 15
+# BrushedMetal: anisotropic power-cosine microfacet conductor
+# (anisotropic_power_cosine_distribution.h); exp = nx, eta field = ny
+MICROFACET_CONDUCTOR_ANISO = 15
+NUM_LOBE_TYPES = 16
 
 # ------------------------------------------------- BRDF type bits (brdf.h)
 DIFFUSE_REFLECTION = 0x00000001
@@ -76,6 +79,7 @@ _TYPE_BITS[TRANSMISSION] = SPECULAR_TRANSMISSION
 _TYPE_BITS[MICROFACET_DIELECTRIC] = GLOSSY_REFLECTION
 _TYPE_BITS[MICROFACET_CONDUCTOR] = GLOSSY_REFLECTION
 _TYPE_BITS[SPECULAR_PHONG] = GLOSSY_REFLECTION
+_TYPE_BITS[MICROFACET_CONDUCTOR_ANISO] = GLOSSY_REFLECTION
 
 ONE_OVER_PI = float(1.0 / np.pi)
 ONE_OVER_TWO_PI = float(1.0 / (2.0 * np.pi))
@@ -171,7 +175,8 @@ def eval_lobes(lobes, ns, ng, wo, wi, type_mask: int = DIFFUSE):
 # distribution, pick one component with ss.
 # ===========================================================================
 
-def sample_lobes(lobes, ns, ng, wo, s2, s1, type_mask: int = ALL):
+def sample_lobes(lobes, ns, ng, wo, s2, s1, type_mask: int = ALL,
+                 tx=None, ty=None):
     """Returns dict with (...,)-shaped: wi (..,3), pdf, weight (..,3) [the
     sampled lobe's color term], type_bits, eta (relative IOR factor for RR),
     valid."""
@@ -286,10 +291,54 @@ def sample_lobes(lobes, ns, ng, wo, s2, s1, type_mask: int = ALL):
             * _clamp01(_cdot(wi_ph, nsb)))
     w_ph = jnp.where(cos_ri >= 0.0, w_ph, 0.0)
 
+    # anisotropic conductor (BrushedMetal) — the Ashikhmin-Shirley-style
+    # distribution of anisotropic_power_cosine_distribution.h:56-73,
+    # oriented by the surface tangent frame
+    if tx is None or ty is None:
+        txb, tyb, _ = vm.frame(ns)
+    else:
+        txb, tyb = tx, ty
+    nx = exp
+    ny_a = eta          # overloaded second exponent for aniso lobes
+    phi_a = 2.0 * jnp.pi * u
+    sin0 = jnp.sqrt(jnp.maximum(nx + 1.0, 0.0)) * jnp.sin(phi_a)
+    cos0 = jnp.sqrt(jnp.maximum(ny_a + 1.0, 0.0)) * jnp.cos(phi_a)
+    inv_n0 = 1.0 / jnp.sqrt(jnp.maximum(sin0 ** 2 + cos0 ** 2, 1e-20))
+    sin_p = sin0 * inv_n0
+    cos_p = cos0 * inv_n0
+    n_eff = nx * cos_p ** 2 + ny_a * sin_p ** 2
+    cos_ta = jnp.power(jnp.maximum(v, 1e-30), 1.0 / (n_eff + 1.0))
+    sin_ta = jnp.sqrt(jnp.maximum(1.0 - cos_ta ** 2, 0.0))
+    norm1_a = jnp.sqrt(jnp.maximum((nx + 1.0) * (ny_a + 1.0), 0.0)) \
+        * ONE_OVER_TWO_PI
+    norm2_a = jnp.sqrt(jnp.maximum((nx + 2.0) * (ny_a + 2.0), 0.0)) \
+        * ONE_OVER_TWO_PI
+    pdf_ha = norm1_a * jnp.power(cos_ta, n_eff)
+    wh_a = ((cos_p * sin_ta)[..., None] * txb[..., None, :]
+            + (sin_p * sin_ta)[..., None] * tyb[..., None, :]
+            + cos_ta[..., None] * nsb)
+    cos_owha = _cdot(jnp.broadcast_to(wob, t.shape + (3,)), wh_a)
+    wi_a = vm.reflect(jnp.broadcast_to(wob, t.shape + (3,)), wh_a, cos_owha)
+    pdf_a = pdf_ha / jnp.maximum(4.0 * jnp.abs(cos_owha), 1e-12)
+    cos_i_a = _cdot(wi_a, nsb)
+    d_a = norm2_a * jnp.power(jnp.maximum(cos_ta, 1e-20), n_eff)
+    g_a = jnp.minimum(1.0, jnp.minimum(
+        2.0 * cos_ta * cos_o_c / jnp.maximum(cos_owha, 1e-12),
+        2.0 * cos_ta * _clamp01(cos_i_a) / jnp.maximum(cos_owha, 1e-12)))
+    fr_a = _fresnel_conductor(_clamp01(cos_owha), lobes['ceta'],
+                              lobes['ck'])
+    w_a = fr_a * (d_a * g_a / jnp.maximum(4.0 * cos_o_c, 1e-12))[..., None]
+    a_ok = ((cos_i_a > 0.0) & (cos_o > 0.0)
+            & (_cdot(wi_a, ng[..., None, :]) > 0.0))
+    w_a = jnp.where(a_ok[..., None], w_a, 0.0)
+
     is_ph = t == SPECULAR_PHONG
-    wi_gl = jnp.where(is_ph[..., None], wi_ph, wi_mf)
-    pdf_gl = jnp.where(is_ph, pdf_ph, pdf_mf)
-    w_gl = jnp.where(is_ph[..., None], w_ph[..., None], w_mf)
+    is_aniso = t == MICROFACET_CONDUCTOR_ANISO
+    wi_gl = jnp.where(is_aniso[..., None], wi_a,
+                      jnp.where(is_ph[..., None], wi_ph, wi_mf))
+    pdf_gl = jnp.where(is_aniso, pdf_a, jnp.where(is_ph, pdf_ph, pdf_mf))
+    w_gl = jnp.where(is_aniso[..., None], w_a,
+                     jnp.where(is_ph[..., None], w_ph[..., None], w_mf))
 
     # ---------------- select per-slot family --------------------------------
     fam_cos = ((t == LAMBERTIAN) | (t == MINNAERT) | (t == VELVETY)
@@ -300,7 +349,7 @@ def sample_lobes(lobes, ns, ng, wo, s2, s1, type_mask: int = ALL):
                | (t == TRANSMISSION))
     fam_refr = t == DIELECTRIC_TRANSMIT
     fam_gl = ((t == MICROFACET_DIELECTRIC) | (t == MICROFACET_CONDUCTOR)
-              | (t == SPECULAR_PHONG))
+              | (t == SPECULAR_PHONG) | (t == MICROFACET_CONDUCTOR_ANISO))
 
     wi = jnp.where(fam_cos[..., None], wi_cosf,
          jnp.where(fam_refl[..., None], wi_refl,

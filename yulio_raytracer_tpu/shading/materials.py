@@ -28,7 +28,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from . import lobes as lb
-from . import textures as tx
+from . import textures as gtex
 
 MAX_LOBES = 4
 
@@ -61,6 +61,7 @@ class MaterialSpec:
     lobes: list          # list[LobeSpec], len <= MAX_LOBES
     s0: tuple = (0.0, 0.0)
     ds: tuple = (1.0, 1.0)
+    bump_tex: int = -1   # map_Bump (obj.h:51-56)
     is_media_interface: bool = False
     medium_out_eta: float = 1.0
     medium_in_eta: float = 1.0
@@ -146,24 +147,34 @@ def make_material(mtype: str, p: dict, tex_id: int = -1,
                                       _c3(p.get('reflectance')))],
                             s0=s0, ds=ds)
 
-    if t in ('metal', 'brushedmetal'):
-        # metal.h / brushedmetal.h (isotropic approximation of the brushed
-        # anisotropy for now): Conductor [rough==0] | MicrofacetMetal
+    if t == 'metal':
+        # metal.h: Conductor [rough==0] | MicrofacetMetal
         refl = _c3(p.get('reflectance'))
         ceta = _c3(p.get('eta'), (1.4, 1.4, 1.4))
         ck = _c3(p.get('k'), (0.0, 0.0, 0.0))
-        if t == 'brushedmetal':
-            rx = float(p.get('roughnessX', 0.01))
-            ry = float(p.get('roughnessY', 0.01))
-            rough = 0.0 if (rx == 0.0 or ry == 0.0) else 0.5 * (rx + ry)
-        else:
-            rough = float(p.get('roughness', 0.01))
+        rough = float(p.get('roughness', 0.01))
         if rough == 0.0:
             return MaterialSpec([LobeSpec(lb.CONDUCTOR, refl,
                                           ceta=ceta, ck=ck)], s0=s0, ds=ds)
         return MaterialSpec([LobeSpec(lb.MICROFACET_CONDUCTOR, refl,
                                       ceta=ceta, ck=ck, exp=1.0 / rough)],
                             s0=s0, ds=ds)
+
+    if t == 'brushedmetal':
+        # brushedmetal.h: Conductor [either roughness==0] |
+        # Microfacet<FresnelConductor, AnisotropicPowerCosine(1/rx, 1/ry)>
+        refl = _c3(p.get('reflectance'))
+        ceta = _c3(p.get('eta'), (1.4, 1.4, 1.4))
+        ck = _c3(p.get('k'), (0.0, 0.0, 0.0))
+        rx = float(p.get('roughnessX', 0.01))
+        ry = float(p.get('roughnessY', 0.01))
+        if rx == 0.0 or ry == 0.0:
+            return MaterialSpec([LobeSpec(lb.CONDUCTOR, refl,
+                                          ceta=ceta, ck=ck)], s0=s0, ds=ds)
+        # exp = nx, eta = ny (the aniso lobe's second exponent)
+        return MaterialSpec([LobeSpec(lb.MICROFACET_CONDUCTOR_ANISO, refl,
+                                      ceta=ceta, ck=ck, exp=1.0 / rx,
+                                      eta=1.0 / ry)], s0=s0, ds=ds)
 
     if t == 'metallicpaint':
         # metallicpaint.h: DielectricReflection(1,eta) +
@@ -230,7 +241,8 @@ def make_material(mtype: str, p: dict, tex_id: int = -1,
                                 tuple(d * c for c in ks), exp=ns,
                                 tex=tex_ids.get('map_Ks', -1),
                                 texmode=TEX_MUL_RGB))
-        return MaterialSpec(out, s0=s0, ds=ds)
+        return MaterialSpec(out, s0=s0, ds=ds,
+                            bump_tex=tex_ids.get('map_Bump', -1))
 
     if t == 'velvet':
         # velvet.h: Minnaert(reflectance, backScattering)
@@ -315,16 +327,20 @@ def build_table(mats: list[MaterialSpec]) -> dict:
         out['medium_in_eta'].astype(np.float32)[:, None],     # 70
         out['medium_out_trans'].astype(np.float32),           # 71:74
         out['medium_in_trans'].astype(np.float32),            # 74:77
+        np.asarray([ms.bump_tex for ms in mats],
+                   np.float32)[:, None],                      # 77
     ], axis=1)
     return table
 
 
 def shade_context(table: dict, textable: dict, mat_id, st,
-                  medium_eta, medium_trans):
+                  medium_eta, medium_trans, ns=None, tx=None, ty=None):
     """Build per-hit lobe arrays for lobes.eval/sample.
 
     mat_id: (R,) i32; st: (R, 2); medium_eta: (R,), medium_trans: (R, 3)
-    (the ray's current medium, for glass direction resolution).
+    (the ray's current medium, for glass direction resolution).  When
+    ns/tx/ty are given and a material binds a bump map, aux['ns'] holds
+    the perturbed shading normal (obj.h:51-56).
     Returns (lobes dict with (R, L[,3]) arrays, aux dict).
     """
     from ..core.math import small_gather
@@ -401,13 +417,25 @@ def shade_context(table: dict, textable: dict, mat_id, st,
         'medium_in_trans': in_trans,
         'inside': inside,
     }
+
+    # bump mapping (obj.h:51-56): Ns' = normalize(b.x Tx + b.y Ty + b.z Ns)
+    # with b = 2*bump.rgb - 1
+    bump_tex = jnp.round(tab[:, 77]).astype(jnp.int32)
+    if ns is not None and tx is not None and textable['data'].shape[0] > 1:
+        bump = gtex.fetch(textable, jnp.maximum(bump_tex, 0), uv)
+        b = 2.0 * bump[:, :3] - 1.0
+        ns_pert = (b[:, 0:1] * tx + b[:, 1:2] * ty + b[:, 2:3] * ns)
+        nl = jnp.sqrt(jnp.maximum(
+            jnp.sum(ns_pert * ns_pert, axis=-1, keepdims=True), 1e-20))
+        ns_pert = ns_pert / nl
+        aux['ns'] = jnp.where((bump_tex >= 0)[:, None], ns_pert, ns)
     return lobed, aux
 
 
 def jnp_fetch(textable, tid, uv):
     """Per-lobe texture fetch: tid (R, L), uv (R, 2) -> (R, L, 4)."""
     uvl = jnp.broadcast_to(uv[..., None, :], tid.shape + (2,))
-    return tx.fetch(textable, tid, uvl)
+    return gtex.fetch(textable, tid, uvl)
 
 
 def next_medium(aux, sampled_transmission_bit, medium_eta, medium_trans):
