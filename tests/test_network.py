@@ -51,3 +51,14 @@ def test_two_server_render_matches_local():
                                     seed=3)
     local = np.asarray(film.rgb_sum)
     np.testing.assert_allclose(img, local, atol=1e-5)
+
+
+def test_rgbe8_roundtrip():
+    rs = np.random.RandomState(0)
+    rgb = (rs.rand(16, 16, 3) * 50).astype(np.float32)
+    rgb[0, 0] = 0.0
+    dec = network.rgbe8_decode(network.rgbe8_encode(rgb))
+    # shared-exponent codec: absolute error bounded by max_channel/128
+    bound = rgb.max(axis=-1, keepdims=True) / 128.0 + 1e-6
+    assert (np.abs(dec - rgb) <= bound).all()
+    np.testing.assert_array_equal(dec[0, 0], 0.0)

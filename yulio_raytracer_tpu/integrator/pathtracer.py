@@ -300,7 +300,9 @@ def trace(scene, params: PTParams, org, dirn, seed, pixel_id, sample_id,
         s1 = rng.uniform1(seed, pixel_id, sample_id,
                           base + jnp.uint32(_DIM_SCATTER_TYPE))
         samp = lb.sample_lobes(lobed, ns, ng, wo, s2, s1, lb.ALL,
-                               tx=dg.get('Tx'), ty=dg.get('Ty'))
+                               tx=dg.get('Tx'), ty=dg.get('Ty'),
+                               types_present=getattr(scene, 'lobe_types',
+                                                     None))
         cont = cont & samp['valid'] & (samp['pdf'] > 0.0) \
             & jnp.any(samp['weight'] > 0.0, axis=-1)
 

@@ -55,6 +55,24 @@ def _recv(sock: socket.socket):
     return pickle.loads(bytes(buf))
 
 
+def rgbe8_encode(rgb: np.ndarray) -> np.ndarray:
+    """Ward RGBE shared-exponent encoding (network_common.h:83-103's
+    compression tier): (..., 3) f32 -> (..., 4) u8."""
+    v = rgb.max(axis=-1)
+    mant, expo = np.frexp(np.maximum(v, 1e-32))
+    scale = np.where(v >= 1e-32, mant * 256.0 / np.maximum(v, 1e-32), 0.0)
+    out = np.zeros(rgb.shape[:-1] + (4,), np.uint8)
+    out[..., :3] = np.clip(rgb * scale[..., None], 0, 255).astype(np.uint8)
+    out[..., 3] = np.where(v >= 1e-32, expo + 128, 0).astype(np.uint8)
+    return out
+
+
+def rgbe8_decode(rgbe: np.ndarray) -> np.ndarray:
+    e = rgbe[..., 3].astype(np.int32)
+    f = np.where(e > 0, np.ldexp(1.0, e - 136), 0.0).astype(np.float32)
+    return rgbe[..., :3].astype(np.float32) * f[..., None]
+
+
 def active_rows(height: int, server_id: int, server_count: int) -> np.ndarray:
     """The reference's 4-row band interleave (swapchain.h:57-60)."""
     y = np.arange(height)
@@ -145,17 +163,25 @@ class RenderServer:
                     np.uint32(msg.get('seed', 0)), None,
                     spp_per_pass=1)
                 rgb[lo:hi] += np.asarray(out[:hi - lo])
-        return {'rows': rows, 'rgb': rgb.reshape(len(rows), w, 3),
-                'weight': float(spp)}
+        out = rgb.reshape(len(rows), w, 3)
+        if msg.get('encoding') == 'rgbe8':
+            # the bandwidth tier of network_server.cpp:680-739
+            return {'rows': rows, 'rgbe': rgbe8_encode(out),
+                    'weight': float(spp)}
+        return {'rows': rows, 'rgb': out, 'weight': float(spp)}
 
 
 class NetworkClient:
     """`NetworkDevice` analog: broadcast scene + render, merge bands."""
 
-    def __init__(self, addresses: list):
+    def __init__(self, addresses: list, connect_timeout: float = 30.0):
         self.socks = []
         for i, (host, port) in enumerate(addresses):
-            s = socket.create_connection((host, port), timeout=30)
+            s = socket.create_connection((host, port),
+                                         timeout=connect_timeout)
+            # renders (first-compile especially) can take minutes — only
+            # the connect is bounded; replies block indefinitely
+            s.settimeout(None)
             _send(s, {'magick': MAGICK, 'serverID': i,
                       'serverCount': len(addresses)})
             self.socks.append(s)
@@ -165,18 +191,26 @@ class NetworkClient:
         for s in self.socks:
             _send(s, {'op': 'set_scene', 'builder': payload})
 
-    def render(self, camera, params, width, height, spp, seed=0):
+    def render(self, camera, params, width, height, spp, seed=0,
+               encoding: str = 'native'):
+        """encoding: 'native' (f32 rows) or 'rgbe8' (4 B/px, the DCN
+        compression tier of network_device.cpp:256-310)."""
         msg = {'op': 'render', 'camera': pickle.dumps(camera, protocol=4),
                'params': {**params.__dict__}, 'width': width,
-               'height': height, 'spp': spp, 'seed': seed}
+               'height': height, 'spp': spp, 'seed': seed,
+               'encoding': encoding}
         for s in self.socks:
             _send(s, msg)
         img = np.zeros((height, width, 3), np.float32)
         weight = np.zeros((height, width), np.float32)
         results = [None] * len(self.socks)
+        errors = [None] * len(self.socks)
 
         def fetch(i):
-            results[i] = _recv(self.socks[i])
+            try:
+                results[i] = _recv(self.socks[i])
+            except Exception as e:           # surfaced below, not dropped
+                errors[i] = e
 
         threads = [threading.Thread(target=fetch, args=(i,))
                    for i in range(len(self.socks))]
@@ -184,8 +218,12 @@ class NetworkClient:
             t.start()
         for t in threads:
             t.join()
+        for i, e in enumerate(errors):
+            if e is not None:
+                raise ConnectionError(f"server {i} failed: {e!r}") from e
         for r in results:
-            img[r['rows']] = r['rgb']
+            img[r['rows']] = (rgbe8_decode(r['rgbe']) if 'rgbe' in r
+                              else r['rgb'])
             weight[r['rows']] = r['weight']
         return img, weight
 

@@ -139,6 +139,8 @@ class SceneBuilder:
             bbox_hi=tuple(float(x) for x in packed.bbox_hi),
             num_triangles=n_tris,
             packet=packet,
+            lobe_types=tuple(sorted({lo.type for ms in self.materials
+                                     for lo in ms.lobes})),
         )
 
 
@@ -174,6 +176,10 @@ class TpuScene:
     bbox_hi: tuple = field(metadata=dict(static=True))
     num_triangles: int = field(metadata=dict(static=True))
     packet: Optional[dict] = None   # Pallas packet-traversal arrays
+    # static set of lobe type ids used by any material — lets the shader
+    # compile away unused BSDF families (shading/lobes.py sample_lobes)
+    lobe_types: Optional[tuple] = field(metadata=dict(static=True),
+                                        default=None)
 
     @property
     def lights(self):

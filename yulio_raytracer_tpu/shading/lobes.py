@@ -176,7 +176,10 @@ def eval_lobes(lobes, ns, ng, wo, wi, type_mask: int = DIFFUSE):
 # ===========================================================================
 
 def sample_lobes(lobes, ns, ng, wo, s2, s1, type_mask: int = ALL,
-                 tx=None, ty=None):
+                 tx=None, ty=None, types_present=None):
+    """types_present: optional static collection of lobe-type ids that can
+    occur in this scene — families no material uses compile away entirely
+    (the scene knows its material set at commit time)."""
     """Returns dict with (...,)-shaped: wi (..,3), pdf, weight (..,3) [the
     sampled lobe's color term], type_bits, eta (relative IOR factor for RR),
     valid."""
@@ -193,144 +196,193 @@ def sample_lobes(lobes, ns, ng, wo, s2, s1, type_mask: int = ALL,
     u = jnp.broadcast_to(s2[..., None, 0], t.shape)
     v = jnp.broadcast_to(s2[..., None, 1], t.shape)
 
+    def present(*tys):
+        return types_present is None or any(x in types_present for x in tys)
+
+    zero_v = jnp.zeros(t.shape + (3,))
+    zero_s = jnp.zeros(t.shape)
+
     # ---------------- family: cosine hemisphere around Ns -----------------
-    wi_cos, pdf_cos = ss.cosine_sample_hemisphere(u, v, jnp.broadcast_to(
-        nsb, t.shape + (3,)))
-    # eval at the sampled direction (Lambertian family returns eval())
-    cos_i = _cdot(wi_cos, nsb)
-    cos_i_c = _clamp01(cos_i)
-    f_lam = ONE_OVER_PI * cos_i_c
-    back = _clamp01(_cdot(wob, wi_cos))
-    f_min = f_lam * jnp.power(jnp.maximum(back, 1e-20), exp)
-    sin_o = jnp.sqrt(jnp.maximum(1.0 - cos_o_c ** 2, 0.0))
-    f_vel = f_lam * jnp.power(jnp.maximum(sin_o, 1e-20), exp)
-
-    # dielectric layer: sample ground cosine INSIDE the layer, refract out
-    # (dielectriclayer.h:49-70)
-    fo, _ = _fresnel_dielectric(cos_o_c, eta)
-    cos_i1_l = _cdot(wi_cos, nsb)                    # ground sample cosine
-    # refract the ground sample out of the medium: refract(-wi1, -Ns, etati)
-    etati = 1.0 / jnp.maximum(eta, 1e-6)
-    wi_out, ok_out, cos_out = vm.refract(wi_cos, -jnp.broadcast_to(
-        nsb, t.shape + (3,)), etati, _clamp01(cos_i1_l))
-    # fresnelDielectric(cosThetaI, cosThetaI1, etait): use eta convention
-    fi_l, _ = _fresnel_dielectric(_clamp01(cos_out), eta)
-    f_layer_w = ((1.0 - fo) * (1.0 - fi_l) * ONE_OVER_PI
-                 * _clamp01(cos_i1_l))
-    f_layer_w = jnp.where(ok_out & (cos_o > 0.0), f_layer_w, 0.0)
-
-    is_layer = t == DIELECTRIC_LAYER_LAMB
-    wi_cosf = jnp.where(is_layer[..., None], wi_out, wi_cos)
-    w_cos = jnp.where(t == LAMBERTIAN, f_lam,
-            jnp.where(t == MINNAERT, f_min,
-            jnp.where(t == VELVETY, f_vel, f_layer_w)))
+    if present(LAMBERTIAN, MINNAERT, VELVETY, DIELECTRIC_LAYER_LAMB):
+        wi_cos, pdf_cos = ss.cosine_sample_hemisphere(
+            u, v, jnp.broadcast_to(nsb, t.shape + (3,)))
+        # eval at the sampled direction (Lambertian family returns eval())
+        cos_i = _cdot(wi_cos, nsb)
+        cos_i_c = _clamp01(cos_i)
+        f_lam = ONE_OVER_PI * cos_i_c
+        if present(MINNAERT):
+            back = _clamp01(_cdot(wob, wi_cos))
+            f_min = f_lam * jnp.power(jnp.maximum(back, 1e-20), exp)
+        else:
+            f_min = f_lam
+        if present(VELVETY):
+            sin_o = jnp.sqrt(jnp.maximum(1.0 - cos_o_c ** 2, 0.0))
+            f_vel = f_lam * jnp.power(jnp.maximum(sin_o, 1e-20), exp)
+        else:
+            f_vel = f_lam
+        if present(DIELECTRIC_LAYER_LAMB):
+            # dielectric layer: sample ground cosine INSIDE the layer,
+            # refract out (dielectriclayer.h:49-70)
+            fo, _ = _fresnel_dielectric(cos_o_c, eta)
+            cos_i1_l = _cdot(wi_cos, nsb)            # ground sample cosine
+            etati = 1.0 / jnp.maximum(eta, 1e-6)
+            wi_out, ok_out, cos_out = vm.refract(wi_cos, -jnp.broadcast_to(
+                nsb, t.shape + (3,)), etati, _clamp01(cos_i1_l))
+            fi_l, _ = _fresnel_dielectric(_clamp01(cos_out), eta)
+            f_layer_w = ((1.0 - fo) * (1.0 - fi_l) * ONE_OVER_PI
+                         * _clamp01(cos_i1_l))
+            f_layer_w = jnp.where(ok_out & (cos_o > 0.0), f_layer_w, 0.0)
+            is_layer = t == DIELECTRIC_LAYER_LAMB
+            wi_cosf = jnp.where(is_layer[..., None], wi_out, wi_cos)
+        else:
+            f_layer_w = f_lam
+            wi_cosf = wi_cos
+        w_cos = jnp.where(t == LAMBERTIAN, f_lam,
+                jnp.where(t == MINNAERT, f_min,
+                jnp.where(t == VELVETY, f_vel, f_layer_w)))
+    else:
+        wi_cosf, pdf_cos, w_cos = zero_v, zero_s, zero_s
 
     # ---------------- family: delta reflection -----------------------------
-    wi_refl = vm.reflect(jnp.broadcast_to(wob, t.shape + (3,)),
-                         jnp.broadcast_to(nsb, t.shape + (3,)), cos_o_c)
-    f_diel, _ = _fresnel_dielectric(cos_o_c, eta)
-    f_cond = _fresnel_conductor(cos_o_c, lobes['ceta'], lobes['ck'])
-    w_refl = jnp.where((t == DIELECTRIC_REFLECT)[..., None],
-                       f_diel[..., None],
-                       jnp.where((t == CONDUCTOR)[..., None], f_cond, 1.0))
+    if present(SPECULAR_REFLECT, DIELECTRIC_REFLECT, CONDUCTOR):
+        wi_refl = vm.reflect(jnp.broadcast_to(wob, t.shape + (3,)),
+                             jnp.broadcast_to(nsb, t.shape + (3,)), cos_o_c)
+        f_diel, _ = _fresnel_dielectric(cos_o_c, eta)
+        f_cond = (_fresnel_conductor(cos_o_c, lobes['ceta'], lobes['ck'])
+                  if present(CONDUCTOR) else 1.0)
+        w_refl = jnp.where((t == DIELECTRIC_REFLECT)[..., None],
+                           f_diel[..., None],
+                           jnp.where((t == CONDUCTOR)[..., None], f_cond,
+                                     1.0))
+    else:
+        wi_refl, w_refl = zero_v, zero_v
 
     # ---------------- family: delta straight transmission ------------------
-    wi_str = -jnp.broadcast_to(wob, t.shape + (3,))
-    # thin dielectric (dielectric.h:128-138): exp(logT * thickness/cosO) *
-    # (1 - F)
-    f_thin, _ = _fresnel_dielectric(cos_o_c, eta)
-    alpha_thin = exp / jnp.maximum(cos_o_c, 1e-6)           # thickness/cosO
-    # color here is T; weight applies pow(T, alpha) / T so that the final
-    # multiply by color yields T^alpha * (1-F) ... simpler: compute weight
-    # colors directly below.
-    w_str = jnp.where((t == THIN_DIELECTRIC_TRANSMIT)[..., None],
-                      (1.0 - f_thin)[..., None], 1.0)
-    w_str = jnp.where((t == THIN_DIELECTRIC_TRANSMIT | (t == CONST_TRANSMIT))[..., None]
-                      & (cos_o <= 0.0)[..., None], 0.0, w_str)
+    if present(THIN_DIELECTRIC_TRANSMIT, CONST_TRANSMIT, TRANSMISSION):
+        wi_str = -jnp.broadcast_to(wob, t.shape + (3,))
+        # thin dielectric (dielectric.h:128-138):
+        # exp(logT * thickness/cosO) * (1 - F)
+        f_thin, _ = _fresnel_dielectric(cos_o_c, eta)
+        alpha_thin = exp / jnp.maximum(cos_o_c, 1e-6)       # thickness/cosO
+        w_str = jnp.where((t == THIN_DIELECTRIC_TRANSMIT)[..., None],
+                          (1.0 - f_thin)[..., None], 1.0)
+        w_str = jnp.where(
+            (t == THIN_DIELECTRIC_TRANSMIT | (t == CONST_TRANSMIT))[..., None]
+            & (cos_o <= 0.0)[..., None], 0.0, w_str)
+    else:
+        wi_str, w_str = zero_v, zero_v
+        alpha_thin = zero_s
 
     # ---------------- family: refraction (dielectric.h:82-89) --------------
-    wi_refr, ok_refr, cos_t = vm.refract(
-        jnp.broadcast_to(wob, t.shape + (3,)),
-        jnp.broadcast_to(nsb, t.shape + (3,)), eta, cos_o_c)
-    f_refr, _ = _fresnel_dielectric(cos_o_c, eta)
-    w_refr = jnp.where(ok_refr, 1.0 - f_refr, 0.0)
-    pdf_refr = jnp.where(ok_refr, eta * eta, 0.0)
+    if present(DIELECTRIC_TRANSMIT):
+        wi_refr, ok_refr, cos_t = vm.refract(
+            jnp.broadcast_to(wob, t.shape + (3,)),
+            jnp.broadcast_to(nsb, t.shape + (3,)), eta, cos_o_c)
+        f_refr, _ = _fresnel_dielectric(cos_o_c, eta)
+        w_refr = jnp.where(ok_refr, 1.0 - f_refr, 0.0)
+        pdf_refr = jnp.where(ok_refr, eta * eta, 0.0)
+    else:
+        wi_refr, w_refr, pdf_refr = zero_v, zero_s, zero_s
 
     # ---------------- family: glossy (microfacet / phong) ------------------
-    # microfacet (microfacet.h:59-67): sample wh ~ power-cosine around Ns,
-    # wi = reflect(wo, wh), pdf = pdf_h / (4 |dot(wo, wh)|)
-    wh, pdf_h = ss.power_cosine_sample_hemisphere(
-        u, v, exp, jnp.broadcast_to(nsb, t.shape + (3,)))
-    cos_owh = _cdot(jnp.broadcast_to(wob, t.shape + (3,)), wh)
-    wi_mf = vm.reflect(jnp.broadcast_to(wob, t.shape + (3,)), wh, cos_owh)
-    pdf_mf = pdf_h / jnp.maximum(4.0 * jnp.abs(cos_owh), 1e-12)
-    # microfacet eval (microfacet.h:43-56) at sampled wi
-    cos_i_mf = _cdot(wi_mf, nsb)
-    cos_h = _cdot(wh, nsb)
-    d_mf = (exp + 2.0) * ONE_OVER_TWO_PI * jnp.power(
-        jnp.maximum(jnp.abs(cos_h), 1e-20), exp)
-    g_mf = jnp.minimum(1.0, jnp.minimum(
-        2.0 * cos_h * cos_o_c / jnp.maximum(cos_owh, 1e-12),
-        2.0 * cos_h * _clamp01(cos_i_mf) / jnp.maximum(cos_owh, 1e-12)))
-    fr_d, _ = _fresnel_dielectric(_clamp01(cos_owh), eta)
-    fr_c = _fresnel_conductor(_clamp01(cos_owh), lobes['ceta'], lobes['ck'])
-    fr = jnp.where((t == MICROFACET_CONDUCTOR)[..., None], fr_c,
-                   fr_d[..., None])
-    w_mf = fr * (d_mf * g_mf / jnp.maximum(4.0 * cos_o_c, 1e-12))[..., None]
-    mf_ok = ((cos_i_mf > 0.0) & (cos_o > 0.0)
-             & (_cdot(wi_mf, ng[..., None, :]) > 0.0))
-    w_mf = jnp.where(mf_ok[..., None], w_mf, 0.0)
-
-    # phong specular (specular.h): sample power-cosine around reflect dir
-    rdir = vm.reflect(jnp.broadcast_to(wob, t.shape + (3,)),
-                      jnp.broadcast_to(nsb, t.shape + (3,)), cos_o)
-    wi_ph, pdf_ph = ss.power_cosine_sample_hemisphere(u, v, exp, rdir)
-    cos_ri = _cdot(rdir, wi_ph)
-    w_ph = ((exp + 2.0) * ONE_OVER_TWO_PI
-            * jnp.power(jnp.maximum(cos_ri, 1e-20), exp)
-            * _clamp01(_cdot(wi_ph, nsb)))
-    w_ph = jnp.where(cos_ri >= 0.0, w_ph, 0.0)
-
-    # anisotropic conductor (BrushedMetal) — the Ashikhmin-Shirley-style
-    # distribution of anisotropic_power_cosine_distribution.h:56-73,
-    # oriented by the surface tangent frame
-    if tx is None or ty is None:
-        txb, tyb, _ = vm.frame(ns)
+    if present(MICROFACET_DIELECTRIC, MICROFACET_CONDUCTOR):
+        # microfacet (microfacet.h:59-67): sample wh ~ power-cosine around
+        # Ns, wi = reflect(wo, wh), pdf = pdf_h / (4 |dot(wo, wh)|)
+        wh, pdf_h = ss.power_cosine_sample_hemisphere(
+            u, v, exp, jnp.broadcast_to(nsb, t.shape + (3,)))
+        cos_owh = _cdot(jnp.broadcast_to(wob, t.shape + (3,)), wh)
+        wi_mf = vm.reflect(jnp.broadcast_to(wob, t.shape + (3,)), wh,
+                           cos_owh)
+        pdf_mf = pdf_h / jnp.maximum(4.0 * jnp.abs(cos_owh), 1e-12)
+        # microfacet eval (microfacet.h:43-56) at sampled wi
+        cos_i_mf = _cdot(wi_mf, nsb)
+        cos_h = _cdot(wh, nsb)
+        d_mf = (exp + 2.0) * ONE_OVER_TWO_PI * jnp.power(
+            jnp.maximum(jnp.abs(cos_h), 1e-20), exp)
+        g_mf = jnp.minimum(1.0, jnp.minimum(
+            2.0 * cos_h * cos_o_c / jnp.maximum(cos_owh, 1e-12),
+            2.0 * cos_h * _clamp01(cos_i_mf) / jnp.maximum(cos_owh, 1e-12)))
+        fr_d, _ = _fresnel_dielectric(_clamp01(cos_owh), eta)
+        fr = fr_d[..., None]
+        if present(MICROFACET_CONDUCTOR):
+            fr_c = _fresnel_conductor(_clamp01(cos_owh), lobes['ceta'],
+                                      lobes['ck'])
+            fr = jnp.where((t == MICROFACET_CONDUCTOR)[..., None], fr_c, fr)
+        w_mf = fr * (d_mf * g_mf
+                     / jnp.maximum(4.0 * cos_o_c, 1e-12))[..., None]
+        # MetallicPaint glitter flakes sit under a dielectric layer
+        # (metallicpaint.h:37-40 DielectricLayer<MicrofacetGlitter>):
+        # conductor microfacet lobes with eta != 1 get (1-Fo)(1-Fi)
+        layered = (t == MICROFACET_CONDUCTOR) & (jnp.abs(eta - 1.0) > 1e-6)
+        fo_l, _ = _fresnel_dielectric(cos_o_c, eta)
+        fi_l2, _ = _fresnel_dielectric(_clamp01(cos_i_mf), eta)
+        w_mf = jnp.where(layered[..., None],
+                         w_mf * ((1.0 - fo_l) * (1.0 - fi_l2))[..., None],
+                         w_mf)
+        mf_ok = ((cos_i_mf > 0.0) & (cos_o > 0.0)
+                 & (_cdot(wi_mf, ng[..., None, :]) > 0.0))
+        w_mf = jnp.where(mf_ok[..., None], w_mf, 0.0)
     else:
-        txb, tyb = tx, ty
-    nx = exp
-    ny_a = eta          # overloaded second exponent for aniso lobes
-    phi_a = 2.0 * jnp.pi * u
-    sin0 = jnp.sqrt(jnp.maximum(nx + 1.0, 0.0)) * jnp.sin(phi_a)
-    cos0 = jnp.sqrt(jnp.maximum(ny_a + 1.0, 0.0)) * jnp.cos(phi_a)
-    inv_n0 = 1.0 / jnp.sqrt(jnp.maximum(sin0 ** 2 + cos0 ** 2, 1e-20))
-    sin_p = sin0 * inv_n0
-    cos_p = cos0 * inv_n0
-    n_eff = nx * cos_p ** 2 + ny_a * sin_p ** 2
-    cos_ta = jnp.power(jnp.maximum(v, 1e-30), 1.0 / (n_eff + 1.0))
-    sin_ta = jnp.sqrt(jnp.maximum(1.0 - cos_ta ** 2, 0.0))
-    norm1_a = jnp.sqrt(jnp.maximum((nx + 1.0) * (ny_a + 1.0), 0.0)) \
-        * ONE_OVER_TWO_PI
-    norm2_a = jnp.sqrt(jnp.maximum((nx + 2.0) * (ny_a + 2.0), 0.0)) \
-        * ONE_OVER_TWO_PI
-    pdf_ha = norm1_a * jnp.power(cos_ta, n_eff)
-    wh_a = ((cos_p * sin_ta)[..., None] * txb[..., None, :]
-            + (sin_p * sin_ta)[..., None] * tyb[..., None, :]
-            + cos_ta[..., None] * nsb)
-    cos_owha = _cdot(jnp.broadcast_to(wob, t.shape + (3,)), wh_a)
-    wi_a = vm.reflect(jnp.broadcast_to(wob, t.shape + (3,)), wh_a, cos_owha)
-    pdf_a = pdf_ha / jnp.maximum(4.0 * jnp.abs(cos_owha), 1e-12)
-    cos_i_a = _cdot(wi_a, nsb)
-    d_a = norm2_a * jnp.power(jnp.maximum(cos_ta, 1e-20), n_eff)
-    g_a = jnp.minimum(1.0, jnp.minimum(
-        2.0 * cos_ta * cos_o_c / jnp.maximum(cos_owha, 1e-12),
-        2.0 * cos_ta * _clamp01(cos_i_a) / jnp.maximum(cos_owha, 1e-12)))
-    fr_a = _fresnel_conductor(_clamp01(cos_owha), lobes['ceta'],
-                              lobes['ck'])
-    w_a = fr_a * (d_a * g_a / jnp.maximum(4.0 * cos_o_c, 1e-12))[..., None]
-    a_ok = ((cos_i_a > 0.0) & (cos_o > 0.0)
-            & (_cdot(wi_a, ng[..., None, :]) > 0.0))
-    w_a = jnp.where(a_ok[..., None], w_a, 0.0)
+        wi_mf, pdf_mf, w_mf = zero_v, zero_s, zero_v
+
+    if present(SPECULAR_PHONG):
+        # phong specular (specular.h): power-cosine around the reflect dir
+        rdir = vm.reflect(jnp.broadcast_to(wob, t.shape + (3,)),
+                          jnp.broadcast_to(nsb, t.shape + (3,)), cos_o)
+        wi_ph, pdf_ph = ss.power_cosine_sample_hemisphere(u, v, exp, rdir)
+        cos_ri = _cdot(rdir, wi_ph)
+        w_ph = ((exp + 2.0) * ONE_OVER_TWO_PI
+                * jnp.power(jnp.maximum(cos_ri, 1e-20), exp)
+                * _clamp01(_cdot(wi_ph, nsb)))
+        w_ph = jnp.where(cos_ri >= 0.0, w_ph, 0.0)
+    else:
+        wi_ph, pdf_ph, w_ph = zero_v, zero_s, zero_s
+
+    if present(MICROFACET_CONDUCTOR_ANISO):
+        # anisotropic conductor (BrushedMetal) — the reference's
+        # anisotropic_power_cosine_distribution.h:56-73, oriented by the
+        # surface tangent frame
+        if tx is None or ty is None:
+            txb, tyb, _ = vm.frame(ns)
+        else:
+            txb, tyb = tx, ty
+        nx = exp
+        ny_a = eta          # overloaded second exponent for aniso lobes
+        phi_a = 2.0 * jnp.pi * u
+        sin0 = jnp.sqrt(jnp.maximum(nx + 1.0, 0.0)) * jnp.sin(phi_a)
+        cos0 = jnp.sqrt(jnp.maximum(ny_a + 1.0, 0.0)) * jnp.cos(phi_a)
+        inv_n0 = 1.0 / jnp.sqrt(jnp.maximum(sin0 ** 2 + cos0 ** 2, 1e-20))
+        sin_p = sin0 * inv_n0
+        cos_p = cos0 * inv_n0
+        n_eff = nx * cos_p ** 2 + ny_a * sin_p ** 2
+        cos_ta = jnp.power(jnp.maximum(v, 1e-30), 1.0 / (n_eff + 1.0))
+        sin_ta = jnp.sqrt(jnp.maximum(1.0 - cos_ta ** 2, 0.0))
+        norm1_a = jnp.sqrt(jnp.maximum((nx + 1.0) * (ny_a + 1.0), 0.0)) \
+            * ONE_OVER_TWO_PI
+        norm2_a = jnp.sqrt(jnp.maximum((nx + 2.0) * (ny_a + 2.0), 0.0)) \
+            * ONE_OVER_TWO_PI
+        pdf_ha = norm1_a * jnp.power(cos_ta, n_eff)
+        wh_a = ((cos_p * sin_ta)[..., None] * txb[..., None, :]
+                + (sin_p * sin_ta)[..., None] * tyb[..., None, :]
+                + cos_ta[..., None] * nsb)
+        cos_owha = _cdot(jnp.broadcast_to(wob, t.shape + (3,)), wh_a)
+        wi_a = vm.reflect(jnp.broadcast_to(wob, t.shape + (3,)), wh_a,
+                          cos_owha)
+        pdf_a = pdf_ha / jnp.maximum(4.0 * jnp.abs(cos_owha), 1e-12)
+        cos_i_a = _cdot(wi_a, nsb)
+        d_a = norm2_a * jnp.power(jnp.maximum(cos_ta, 1e-20), n_eff)
+        g_a = jnp.minimum(1.0, jnp.minimum(
+            2.0 * cos_ta * cos_o_c / jnp.maximum(cos_owha, 1e-12),
+            2.0 * cos_ta * _clamp01(cos_i_a) / jnp.maximum(cos_owha, 1e-12)))
+        fr_a = _fresnel_conductor(_clamp01(cos_owha), lobes['ceta'],
+                                  lobes['ck'])
+        w_a = fr_a * (d_a * g_a
+                      / jnp.maximum(4.0 * cos_o_c, 1e-12))[..., None]
+        a_ok = ((cos_i_a > 0.0) & (cos_o > 0.0)
+                & (_cdot(wi_a, ng[..., None, :]) > 0.0))
+        w_a = jnp.where(a_ok[..., None], w_a, 0.0)
+    else:
+        wi_a, pdf_a, w_a = zero_v, zero_s, zero_v
 
     is_ph = t == SPECULAR_PHONG
     is_aniso = t == MICROFACET_CONDUCTOR_ANISO

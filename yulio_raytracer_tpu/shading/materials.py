@@ -188,9 +188,11 @@ def make_material(mtype: str, p: dict, tex_id: int = -1,
         glitter = _c3(p.get('glitterColor'), (0, 0, 0))
         spread = float(p.get('glitterSpread', 1.0))
         if spread != 0 and any(g != 0 for g in glitter):
+            # aluminium flakes under the paint's dielectric layer
+            # (metallicpaint.h:37-40); eta != 1 marks the layered conductor
             out.append(LobeSpec(lb.MICROFACET_CONDUCTOR, glitter,
                                 ceta=(0.62, 0.62, 0.62), ck=(4.8, 4.8, 4.8),
-                                exp=1.0 / spread))
+                                exp=1.0 / spread, eta=1.0 / eta))
         return MaterialSpec(out, s0=s0, ds=ds)
 
     if t == 'uber':
