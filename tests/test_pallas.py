@@ -104,3 +104,29 @@ def test_dense_kernel_matches_brute():
     both = np.isfinite(t1)
     np.testing.assert_allclose(t1[both], t0[both], rtol=1e-4, atol=1e-5)
     assert (np.asarray(hit.tri)[both] == np.asarray(ref.tri)[both]).all()
+
+
+def test_dense_occluded_any_hit():
+    from yulio_raytracer_tpu.ops import pallas_dense as ppd
+    packed = mesh.pack_meshes([
+        primitives.quad([-5, 0, -5], [5, 0, -5], [5, 0, 5], [-5, 0, 5]),
+        primitives.tessellate_sphere([0, 2, 0], 0.5, 8, 10)],
+        pad_multiple=64)
+    host = {k: getattr(packed, k) for k in (
+        'v0', 'e1', 'e2', 'ng', 'vn', 'uv', 'mat_id', 'light_id', 'cull',
+        'illum_mask', 'shadow_mask', 'valid')}
+    woop = mesh.woop_matrices(packed.v0, packed.e1, packed.e2, packed.valid)
+    tris = jnp.asarray(ppt.pack_tris(woop, host))
+    geom = {k: jnp.asarray(v) for k, v in host.items()}
+    rs = np.random.RandomState(5)
+    R = ppd.BLOCK
+    org = jnp.asarray(rs.randn(R, 3).astype(np.float32) * 3 +
+                      np.asarray([0, 3, 0], np.float32))
+    d = rs.randn(R, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    tn = jnp.full((R,), 1e-4)
+    tf = jnp.full((R,), 8.0)
+    occ = ppd.occluded_dense(tris, org, d, tn, tf, interpret=True)
+    ref = intersect.occluded_brute(geom, org, d, tn, tf, block=64)
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(ref))

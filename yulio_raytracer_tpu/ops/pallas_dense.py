@@ -111,6 +111,69 @@ def intersect_dense(tris, org, dirn, tnear, tfar,
     return Hit(t, tri, u, v)
 
 
+def _kernel_occ(tris_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                tn_ref, tf_ref, occ_out, num_groups: int):
+    """Any-hit variant: no closest-hit bookkeeping; the group loop stops
+    as soon as the whole packet is occluded."""
+    ox = ox_ref[:]
+    oy = oy_ref[:]
+    oz = oz_ref[:]
+    dx = dx_ref[:]
+    dy = dy_ref[:]
+    dz = dz_ref[:]
+    tnear = tn_ref[:]
+    tfar = tf_ref[:]
+
+    # Mosaic can't carry i1 vectors through scf loops — keep occ as i32.
+    # No early-exit: the all-occluded scalar reduction per group costs more
+    # than it saves (measured on v5e).
+    def body(g, occ):
+        w = tris_ref[g]
+        for k in range(8):
+            s = w[16 * k:16 * (k + 1)]
+            oup = ox * s[0] + oy * s[3] + oz * s[6] + s[9]
+            ovp = ox * s[1] + oy * s[4] + oz * s[7] + s[10]
+            owp = ox * s[2] + oy * s[5] + oz * s[8] + s[11]
+            dup = dx * s[0] + dy * s[3] + dz * s[6]
+            dvp = dx * s[1] + dy * s[4] + dz * s[7]
+            dwp = dx * s[2] + dy * s[5] + dz * s[8]
+            inv_dw = jnp.where(jnp.abs(dwp) > 1e-12, 1.0 / dwp, 0.0)
+            th = -owp * inv_dw
+            uh = oup + th * dup
+            vh = ovp + th * dvp
+            ngd = dx * s[12] + dy * s[13] + dz * s[14]
+            cull_ok = (s[15] != 1.0) | (ngd < 0.0)
+            hit = ((jnp.abs(dwp) > 1e-12)
+                   & (uh >= 0.0) & (vh >= 0.0) & (uh + vh <= 1.0)
+                   & (th > tnear) & (th < tfar) & cull_ok)
+            occ = jnp.maximum(occ, hit.astype(jnp.int32))
+        return occ
+
+    occ = jax.lax.fori_loop(0, num_groups, body,
+                            jnp.zeros((BLOCK,), jnp.int32))
+    occ_out[:] = occ
+
+
+@partial(jax.jit, static_argnames=('interpret',))
 def occluded_dense(tris, org, dirn, tnear, tfar, interpret: bool = False):
-    hit = intersect_dense(tris, org, dirn, tnear, tfar, interpret=interpret)
-    return hit.tri >= 0
+    r = org.shape[0]
+    assert r % BLOCK == 0
+    g = tris.shape[0]
+
+    def vec_spec():
+        return pl.BlockSpec((BLOCK,), lambda i: (i,),
+                            memory_space=pltpu.VMEM)
+
+    occ = pl.pallas_call(
+        partial(_kernel_occ, num_groups=g),
+        grid=(r // BLOCK,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  vec_spec(), vec_spec(), vec_spec(),
+                  vec_spec(), vec_spec(), vec_spec(),
+                  vec_spec(), vec_spec()],
+        out_specs=vec_spec(),
+        out_shape=jax.ShapeDtypeStruct((r,), jnp.int32),
+        interpret=interpret,
+    )(tris, org[:, 0], org[:, 1], org[:, 2],
+      dirn[:, 0], dirn[:, 1], dirn[:, 2], tnear, tfar)
+    return occ != 0
