@@ -24,3 +24,23 @@ Layer map (mirrors SURVEY.md section 7):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level convenience exports (keeps bare `import
+    yulio_raytracer_tpu` free of jax initialization)."""
+    import importlib
+    top = {
+        'SceneBuilder': ('yulio_raytracer_tpu.scene', 'SceneBuilder'),
+        'TpuScene': ('yulio_raytracer_tpu.scene', 'TpuScene'),
+        'PTParams': ('yulio_raytracer_tpu.integrator.pathtracer',
+                     'PTParams'),
+        'render_frame': ('yulio_raytracer_tpu.renderer', 'render_frame'),
+        'render_progressive': ('yulio_raytracer_tpu.renderer',
+                               'render_progressive'),
+        'pick': ('yulio_raytracer_tpu.renderer', 'pick'),
+    }
+    if name in top:
+        mod, attr = top[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(name)

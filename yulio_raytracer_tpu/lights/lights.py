@@ -44,11 +44,14 @@ def point(P, I, illum_mask=-1, shadow_mask=-1):
 
 def spot(P, D, I, angle_min_deg, angle_max_deg, illum_mask=-1,
          shadow_mask=-1):
+    """spotlight.h:42-45: the stored axis is -normalize(D) (compared
+    against the surface->light direction) and the cone parameters are
+    cosines of HALF the given angles."""
     return {'kind': 'spot', 'P': jnp.asarray(P, jnp.float32),
-            'D': jnp.asarray(vm.normalize(jnp.asarray(D, jnp.float32))),
+            'D': -jnp.asarray(vm.normalize(jnp.asarray(D, jnp.float32))),
             'I': jnp.asarray(I, jnp.float32),
-            'cos_min': jnp.float32(np.cos(np.deg2rad(angle_min_deg))),
-            'cos_max': jnp.float32(np.cos(np.deg2rad(angle_max_deg))),
+            'cos_min': jnp.float32(np.cos(0.5 * np.deg2rad(angle_min_deg))),
+            'cos_max': jnp.float32(np.cos(0.5 * np.deg2rad(angle_max_deg))),
             'illum_mask': illum_mask, 'shadow_mask': shadow_mask}
 
 
