@@ -55,6 +55,38 @@ def test_packet_matches_brute():
     np.testing.assert_array_equal(np.asarray(occ), np.isfinite(t0))
 
 
+def test_packet_sorted_matches_unsorted():
+    """Ray binning (octant/Morton sort + unsort) must be transparent."""
+    nodes, tris, geom, _ = _build([
+        primitives.tessellate_sphere([0, 0, 0], 1.0, 12, 16),
+        primitives.quad([-5, -1.2, -5], [5, -1.2, -5], [5, -1.2, 5],
+                        [-5, -1.2, 5])])
+    rs = np.random.RandomState(11)
+    R = ppt.BLOCK * 2
+    org = jnp.asarray(rs.randn(R, 3).astype(np.float32) * 3)
+    d = rs.randn(R, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    tn = jnp.full((R,), 1e-4)
+    # mark a quarter of the rays dead (tfar < tnear) like the integrator
+    tf = jnp.where(jnp.arange(R) % 4 == 0, -1.0, jnp.inf)
+    bb_lo, bb_hi = (-5.0, -1.2, -5.0), (5.0, 1.0, 5.0)
+    ref = ppt.intersect_packet(nodes, tris, org, d, tn, tf, max_leaf=8,
+                               interpret=True)
+    hit = ppt.intersect_packet_sorted(nodes, tris, org, d, tn, tf,
+                                      bb_lo, bb_hi, max_leaf=8,
+                                      interpret=True)
+    np.testing.assert_allclose(np.asarray(hit.t), np.asarray(ref.t),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(hit.tri), np.asarray(ref.tri))
+    occ_ref = ppt.occluded_packet(nodes, tris, org, d, tn, tf, max_leaf=8,
+                                  interpret=True)
+    occ = ppt.occluded_packet_sorted(nodes, tris, org, d, tn, tf,
+                                     bb_lo, bb_hi, max_leaf=8,
+                                     interpret=True)
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(occ_ref))
+
+
 def test_packet_finite_tfar():
     nodes, tris, geom, _ = _build([
         primitives.quad([-5, 0, -5], [5, 0, -5], [5, 0, 5], [-5, 0, 5])])

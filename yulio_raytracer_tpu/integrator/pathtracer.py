@@ -79,7 +79,8 @@ def _use_packet(scene, org):
             and jax.default_backend() == 'tpu')
 
 
-def _intersect(scene, org, dirn, tnear, tfar, time=None):
+def _intersect(scene, org, dirn, tnear, tfar, time=None,
+               sort_rays=False):
     if 'mv0' in scene.geom and time is not None:
         # motion blur: time-aware dense path (sphere_motion scenes)
         return ops_i.intersect_brute(scene.geom, org, dirn, tnear, tfar,
@@ -90,6 +91,11 @@ def _intersect(scene, org, dirn, tnear, tfar, time=None):
         if 'nodes' not in scene.packet:
             return ppd.intersect_dense(scene.packet['tris'], org, dirn,
                                        tnear, tfar)
+        if sort_rays:
+            return ppt.intersect_packet_sorted(
+                scene.packet['nodes'], scene.packet['tris'], org, dirn,
+                tnear, tfar, scene.bbox_lo, scene.bbox_hi,
+                max_leaf=scene.leaf_size)
         return ppt.intersect_packet(
             scene.packet['nodes'], scene.packet['tris'], org, dirn,
             tnear, tfar, max_leaf=scene.leaf_size)
@@ -123,7 +129,8 @@ def _post_intersect_combined(scene, org, dirn, hit, tri_axis):
     return hit, dg
 
 
-def _occluded(scene, org, dirn, tnear, tfar, tri_axis=None, time=None):
+def _occluded(scene, org, dirn, tnear, tfar, tri_axis=None, time=None,
+              sort_rays=False):
     if 'mv0' in scene.geom and time is not None:
         occ = ops_i.occluded_brute(scene.geom, org, dirn, tnear, tfar,
                                    time=time)
@@ -133,6 +140,11 @@ def _occluded(scene, org, dirn, tnear, tfar, tri_axis=None, time=None):
         if 'nodes' not in scene.packet:
             occ = ppd.occluded_dense(scene.packet['tris'], org, dirn,
                                      tnear, tfar)
+        elif sort_rays:
+            occ = ppt.occluded_packet_sorted(
+                scene.packet['nodes'], scene.packet['tris'], org, dirn,
+                tnear, tfar, scene.bbox_lo, scene.bbox_hi,
+                max_leaf=scene.leaf_size)
         else:
             occ = ppt.occluded_packet(
                 scene.packet['nodes'], scene.packet['tris'], org, dirn,
@@ -179,7 +191,7 @@ def trace(scene, params: PTParams, org, dirn, seed, pixel_id, sample_id,
         'num_rays': jnp.zeros((), jnp.float32),
     }
 
-    def bounce(state, depth):
+    def bounce(state, depth, sort_rays=False):
         base = _bounce_dims(depth)
         active = state['active']
         org = state['org']
@@ -190,9 +202,14 @@ def trace(scene, params: PTParams, org, dirn, seed, pixel_id, sample_id,
         # terminate low-contribution paths (pathtraceintegrator.cpp:66-67)
         active = active & (jnp.max(thr, axis=-1) >= params.min_contribution)
 
+        # dead lanes get tfar < tnear: they fail every slab/tri test, so
+        # they never widen the packet frustum, and the ray sort banishes
+        # them to all-dead packets that terminate in O(1) (the wavefront
+        # analog of the reference simply not recursing, cpp:169-182)
+        tfar_live = jnp.where(active, jnp.inf, -1.0)
         hit = _intersect(scene, org, dirn,
-                         jnp.zeros((r,)), jnp.full((r,), jnp.inf),
-                         time=time)
+                         jnp.zeros((r,)), tfar_live,
+                         time=time, sort_rays=sort_rays)
         state = dict(state)
         state['num_rays'] = state['num_rays'] + jnp.sum(active)
         hit, dg = _post_intersect_combined(scene, org, dirn, hit,
@@ -276,7 +293,9 @@ def trace(scene, params: PTParams, org, dirn, seed, pixel_id, sample_id,
                     0.0)
 
             occ = _occluded(scene, dg['P'], wi, err_eps,
-                            tmax - err_eps, params.tri_axis, time=time)
+                            jnp.where(cand, tmax - err_eps, -1.0),
+                            params.tri_axis, time=time,
+                            sort_rays=sort_rays)
             state['num_rays'] = state['num_rays'] + jnp.sum(cand)
             lit = cand & ~occ
             contrib = thr * le * brdf / jnp.maximum(pdf, 1e-20)[:, None]
@@ -350,6 +369,13 @@ def trace(scene, params: PTParams, org, dirn, seed, pixel_id, sample_id,
                                     state['eta_rr'])
         return state, None
 
-    state, _ = jax.lax.scan(bounce, state,
-                            jnp.arange(params.max_depth, dtype=jnp.int32))
+    # bounce 0 is peeled out of the scan: primary (and first-shadow) rays
+    # arrive in tiled order and need no ray binning; the remaining bounces
+    # have scattered directions/origins, so their traversals run behind an
+    # octant/Morton sort (pallas_traverse._ray_sort_key)
+    state, _ = bounce(state, jnp.int32(0), sort_rays=False)
+    if params.max_depth > 1:
+        state, _ = jax.lax.scan(
+            lambda st, d: bounce(st, d, sort_rays=True), state,
+            jnp.arange(1, params.max_depth, dtype=jnp.int32))
     return state['L'], state['num_rays']

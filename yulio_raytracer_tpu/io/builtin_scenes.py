@@ -12,6 +12,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..geometry.mesh import HostMesh
+from ..geometry import primitives
 from ..shading import materials as gmat
 from ..lights import lights as glights
 from ..scene import SceneBuilder
@@ -97,3 +98,67 @@ def cornell_camera(width: int = 512, height: int = 512):
     l2w = cam.look_at((278.0, 273.0, -800.0), (278.0, 273.0, 0.0),
                       (0.0, 1.0, 0.0))
     return cam.Pinhole(l2w, angle=37.0, aspect=width / height)
+
+
+def colonnade(cols_x: int = 8, cols_z: int = 4, tess=(24, 32),
+              clutter: int = 24, seed: int = 7) -> SceneBuilder:
+    """Sponza stand-in: an enclosed hall with a grid of sphere columns and
+    random clutter spheres (~100k triangles at the defaults).  The
+    reference's north-star benchmark scene (Sponza) ships as a stripped
+    blob, so this procedural interior reproduces its *load*: a deep BVH,
+    heavy occlusion, mostly-coherent primary rays, long shadow rays.
+    Hall is 20 x 6 x 10 (x, y, z), centred at the origin."""
+    sb = SceneBuilder()
+    rs = np.random.RandomState(seed)
+    hx, hy, hz = 10.0, 3.0, 5.0
+    white = sb.add_material(gmat.make_material(
+        'matte', {'reflectance': (0.70, 0.68, 0.64)}))
+    red = sb.add_material(gmat.make_material(
+        'matte', {'reflectance': (0.55, 0.10, 0.08)}))
+    blue = sb.add_material(gmat.make_material(
+        'matte', {'reflectance': (0.10, 0.18, 0.50)}))
+
+    # floor / ceiling / walls (inward-facing)
+    sb.add_mesh(_quad_mesh([-hx, 0, -hz], [hx, 0, -hz], [hx, 0, hz],
+                           [-hx, 0, hz], white))
+    sb.add_mesh(_quad_mesh([-hx, 2 * hy, -hz], [-hx, 2 * hy, hz],
+                           [hx, 2 * hy, hz], [hx, 2 * hy, -hz], white))
+    sb.add_mesh(_quad_mesh([-hx, 0, -hz], [-hx, 0, hz], [-hx, 2 * hy, hz],
+                           [-hx, 2 * hy, -hz], red))
+    sb.add_mesh(_quad_mesh([hx, 0, -hz], [hx, 2 * hy, -hz], [hx, 2 * hy, hz],
+                           [hx, 0, hz], blue))
+    sb.add_mesh(_quad_mesh([-hx, 0, -hz], [-hx, 2 * hy, -hz],
+                           [hx, 2 * hy, -hz], [hx, 0, -hz], white))
+    sb.add_mesh(_quad_mesh([-hx, 0, hz], [hx, 0, hz], [hx, 2 * hy, hz],
+                           [-hx, 2 * hy, hz], white))
+
+    nt, np_ = tess
+    # columns: stacks of 3 spheres from floor to ceiling
+    xs = np.linspace(-hx * 0.8, hx * 0.8, cols_x)
+    zs = np.linspace(-hz * 0.7, hz * 0.7, cols_z)
+    for x in xs:
+        for z in zs:
+            for k in range(3):
+                sb.add_mesh(primitives.tessellate_sphere(
+                    [x, 1.0 + 2.0 * k, z], 0.55, nt, np_, material=white))
+    # clutter: random small spheres on the floor
+    for _ in range(clutter):
+        cx = rs.uniform(-hx * 0.9, hx * 0.9)
+        cz = rs.uniform(-hz * 0.9, hz * 0.9)
+        r = rs.uniform(0.15, 0.45)
+        sb.add_mesh(primitives.tessellate_sphere(
+            [cx, r, cz], r, nt, np_, material=(red, blue)[int(rs.rand() < .5)]))
+
+    # two ceiling quad lights (long shadow rays through the columns)
+    add_quad_light(sb, (-6.0, 2 * hy - 0.01, -1.0), (2.0, 0, 0), (0, 0, 2.0),
+                   (40.0, 38.0, 34.0))
+    add_quad_light(sb, (4.0, 2 * hy - 0.01, -1.0), (2.0, 0, 0), (0, 0, 2.0),
+                   (34.0, 36.0, 40.0))
+    return sb
+
+
+def colonnade_camera(width: int = 1024, height: int = 1024):
+    """Down-the-hall view: coherent primaries, deep occlusion."""
+    from ..cameras import cameras as cam
+    l2w = cam.look_at((-9.0, 2.2, 0.0), (10.0, 1.6, 0.0), (0.0, 1.0, 0.0))
+    return cam.Pinhole(l2w, angle=65.0, aspect=width / height)

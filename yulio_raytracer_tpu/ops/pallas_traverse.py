@@ -5,21 +5,33 @@ device's ray packets, devices/device_ispc/renderers/pathtracer.ispc:13-22,
 scaled from 2x2-SSE packets to 1024-ray TPU packets):
 
 * each grid program owns a block of B rays resident in VMEM registers;
-* ONE scalar traversal stack (SMEM) is shared by the whole block — a node
-  is visited iff ANY ray in the block intersects its bbox (vector slab
-  test + scalar any-reduction), so there are **zero per-lane gathers**;
+* ONE scalar traversal stack (SMEM) is shared by the whole block;
+* **children-test-on-pop**: popping an interior node slab-tests both of
+  its children against the packet and pushes only the hit ones — every
+  node's box is tested exactly once, and misses never enter the stack
+  (the round-1 kernel tested nodes on pop, so missed children still cost
+  a full loop iteration);
+* **ordered traversal**: the near child (by packet-dominant direction
+  sign along the node's stored split axis) is pushed last so it pops
+  first — t_best shrinks early and far subtrees get culled (the
+  rtcIntersect near-child-first heuristic, Embree-class behavior);
+* **pop culling**: each stack entry carries the packet-min entry
+  distance; a popped entry whose tmin exceeds the packet-max best-t is
+  skipped without touching its children;
 * leaf triangles stream through scalar-indexed VMEM reads, each tested
   against all B rays at once (dense VPU work);
 * per-ray state (best t/tri/u/v) lives in vector registers the whole time.
 
-Coherent packets (primary/shadow rays) cull almost as well as per-ray
-traversal; incoherent packets degrade gracefully toward brute force while
-staying branch-free per lane.
+`occluded_packet` is a dedicated any-hit kernel: no closest-hit
+bookkeeping, subtrees are pruned against the not-yet-occluded mask, and
+traversal terminates outright once every ray in the packet is occluded
+(the rtcOccluded fast path of pathtraceintegrator.cpp:160).
 
 Node encoding (built by `pack_nodes`): (N, 8) f32 rows
-  [lo.x lo.y lo.z hi.x hi.y hi.z  A  count]
-  count == 0: interior, A = right-child index (left child is i+1)
-  count  > 0: leaf, A = first triangle (in BVH-permuted order)
+  [lo.x lo.y lo.z hi.x hi.y hi.z  A  tag]
+  tag  > 0: leaf, count = tag, A = first triangle (BVH-permuted order)
+  tag <= 0: interior, A = right-child index (left child is i+1),
+            split axis = -tag (stored as -(axis+1) .. so axis = -tag-1)
 Triangles are packed EIGHT per 128-lane row ((G, 128) f32, G = ceil(T/8)):
 tri t lives in row t//8 at lane offset (t%8)*16 with layout
 [woop(12) | ng(3) | cull].  VMEM rows pad the lane dimension to 128, so a
@@ -47,16 +59,24 @@ INF = float(np.inf)
 def pack_nodes(bvh) -> np.ndarray:
     """FlatBVH -> (N, 8) f32 node rows (see module docstring)."""
     n = bvh.num_nodes
-    right = np.zeros(n, np.int32)
+    idx = np.arange(n)
     interior = bvh.count == 0
     # DFS layout: left child = i+1, right child = skip[i+1] (the end of
     # the left subtree is where the right subtree starts)
-    left_idx = np.minimum(np.arange(n) + 1, n - 1)
-    right[interior] = bvh.skip[left_idx[interior]]
+    left = np.minimum(idx + 1, n - 1)
+    right = np.zeros(n, np.int32)
+    right[interior] = bvh.skip[left[interior]]
     a = np.where(interior, right, bvh.start).astype(np.float32)
+    # traversal-order axis: the dominant separation axis of the two
+    # children's box centroids (drives the near-child-first push)
+    ctr = 0.5 * (bvh.lo.astype(np.float64) + bvh.hi.astype(np.float64))
+    sep = np.abs(ctr[right] - ctr[left])
+    sep[~np.isfinite(sep)] = 0.0
+    axis = np.argmax(sep, axis=1).astype(np.int32)
+    tag = np.where(interior, -(axis + 1), bvh.count).astype(np.float32)
     return np.concatenate([
         bvh.lo.astype(np.float32), bvh.hi.astype(np.float32),
-        a[:, None], bvh.count.astype(np.float32)[:, None]], axis=1)
+        a[:, None], tag[:, None]], axis=1)
 
 
 def pack_tris(woop: np.ndarray, geom_host: dict) -> np.ndarray:
@@ -75,11 +95,32 @@ def pack_tris(woop: np.ndarray, geom_host: dict) -> np.ndarray:
     return out.reshape(g, 128)
 
 
+def _leaf_groups(tris_ref, a, count, max_leaf, tri_test, carry):
+    """Run tri_test on every 8-triangle packed row overlapping the leaf
+    range [a, a+count).  Boundary rows test a few extra triangles, which
+    is sound — every packed triangle is real scene geometry (padding rows
+    can never pass the hit test)."""
+    g_first = a // 8
+    g_count = (a + count + 7) // 8 - g_first
+    max_groups = (max_leaf + 7) // 8 + 1
+
+    def group(g, carry):
+        def do(carry2):
+            row = tris_ref[g_first + g]            # (128,) = 8 tris
+            for k in range(8):                     # static unroll
+                carry2 = tri_test(row[16 * k:16 * (k + 1)],
+                                  (g_first + g) * 8 + k, carry2)
+            return carry2
+        return jax.lax.cond(g < g_count, do, lambda c: c, carry)
+
+    return jax.lax.fori_loop(0, max_groups, group, carry)
+
+
 def _kernel(nodes_ref, tris_ref,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             tn_ref, tf_ref,
             t_out, tri_out, u_out, v_out,
-            stack_ref, max_leaf: int, any_hit: bool):
+            stack_ref, stackt_ref, max_leaf: int):
     ox = ox_ref[:]
     oy = oy_ref[:]
     oz = oz_ref[:]
@@ -97,51 +138,55 @@ def _kernel(nodes_ref, tris_ref,
     iy = safe_inv(dy)
     iz = safe_inv(dz)
 
-    stack_ref[0] = 0    # push root
+    # packet-dominant direction sign per axis (scalar; drives child order).
+    # Kept as i32 — chained scalar-bool selects can trip Mosaic's
+    # arith.select legalization.
+    sgn = ((jnp.sum(dx) >= 0.0).astype(jnp.int32),
+           (jnp.sum(dy) >= 0.0).astype(jnp.int32),
+           (jnp.sum(dz) >= 0.0).astype(jnp.int32))
 
-    def cond(state):
-        sp = state[0]
-        return sp >= 0
-
-    def body(state):
-        sp, t_best, tri_best, u_best, v_best = state
-        node = stack_ref[sp]
-        sp = sp - 1
-        row = nodes_ref[node]                      # (8,) vector row
-
-        # vector slab test against every ray in the packet
-        t0x = (row[0] - ox) * ix
-        t1x = (row[3] - ox) * ix
-        t0y = (row[1] - oy) * iy
-        t1y = (row[4] - oy) * iy
-        t0z = (row[2] - oz) * iz
-        t1z = (row[5] - oz) * iz
+    def slab(n, t_b):
+        """Packet slab test against node n (scalar SMEM reads broadcast
+        into vector ops). Returns (hit, tmin)."""
+        b = 8 * n
+        t0x = (nodes_ref[b + 0] - ox) * ix
+        t1x = (nodes_ref[b + 3] - ox) * ix
+        t0y = (nodes_ref[b + 1] - oy) * iy
+        t1y = (nodes_ref[b + 4] - oy) * iy
+        t0z = (nodes_ref[b + 2] - oz) * iz
+        t1z = (nodes_ref[b + 5] - oz) * iz
         tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
                                        jnp.minimum(t0y, t1y)),
                            jnp.maximum(jnp.minimum(t0z, t1z), tnear))
         tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
                                        jnp.maximum(t0y, t1y)),
                            jnp.minimum(jnp.maximum(t0z, t1z),
-                                       jnp.minimum(tfar0, t_best)))
-        hit_any = jnp.any(tmin <= tmax)
+                                       jnp.minimum(tfar0, t_b)))
+        return tmin <= tmax, tmin
 
-        a = row[6].astype(jnp.int32)
-        count = row[7].astype(jnp.int32)
-        is_leaf = count > 0
+    stack_ref[0] = 0        # push root (tested lazily on pop)
+    stackt_ref[0] = 0.0
 
-        # leaf triangles are processed 8 per packed row; boundary rows test
-        # a few extra triangles, which is sound — every packed triangle is
-        # real scene geometry (padding rows can never pass the hit test)
-        g_first = a // 8
-        g_count = (a + count + 7) // 8 - g_first
-        max_groups = (max_leaf + 7) // 8 + 1
+    def cond(state):
+        return state[0] >= 0
 
-        def leaf_group(g, carry):
-            def do_group(carry2):
-                t_b, tri_b, u_b, v_b = carry2
-                row = tris_ref[g_first + g]        # (128,) = 8 tris
-                for k in range(8):                 # static unroll
-                    w = row[16 * k:16 * (k + 1)]
+    def body(state):
+        sp, t_best, tri_best, u_best, v_best, t_allmax = state
+        node = stack_ref[sp]
+        tpop = stackt_ref[sp]
+        sp = sp - 1
+
+        def process(carry):
+            sp, t_best, tri_best, u_best, v_best, t_allmax = carry
+            a = nodes_ref[8 * node + 6].astype(jnp.int32)
+            tag = nodes_ref[8 * node + 7].astype(jnp.int32)
+            is_leaf = tag > 0
+
+            def do_leaf(carry2):
+                t_b, tri_b, u_b, v_b, _ = carry2
+
+                def tri_test(w, tri_index, c):
+                    t_b, tri_b, u_b, v_b = c
                     oup = ox * w[0] + oy * w[3] + oz * w[6] + w[9]
                     ovp = ox * w[1] + oy * w[4] + oz * w[7] + w[10]
                     owp = ox * w[2] + oy * w[5] + oz * w[8] + w[11]
@@ -160,45 +205,90 @@ def _kernel(nodes_ref, tris_ref,
                           & (uh >= 0.0) & (vh >= 0.0) & (uh + vh <= 1.0)
                           & (th > tnear) & (th < jnp.minimum(tfar0, t_b))
                           & cull_ok)
-                    t_b = jnp.where(ok, th, t_b)
-                    tri_b = jnp.where(ok, (g_first + g) * 8 + k, tri_b)
-                    u_b = jnp.where(ok, uh, u_b)
-                    v_b = jnp.where(ok, vh, v_b)
-                return t_b, tri_b, u_b, v_b
+                    return (jnp.where(ok, th, t_b),
+                            jnp.where(ok, tri_index, tri_b),
+                            jnp.where(ok, uh, u_b),
+                            jnp.where(ok, vh, v_b))
 
-            return jax.lax.cond(g < g_count, do_group, lambda c: c, carry)
+                t_b, tri_b, u_b, v_b = _leaf_groups(
+                    tris_ref, a, tag, max_leaf, tri_test,
+                    (t_b, tri_b, u_b, v_b))
+                # pop-cull bound: the packet's farthest effective t
+                t_am = jnp.max(jnp.minimum(t_b, tfar0))
+                return t_b, tri_b, u_b, v_b, t_am
 
-        def do_leaf(carry):
-            return jax.lax.fori_loop(0, max_groups, leaf_group, carry)
+            def do_interior(carry2):
+                t_b, tri_b, u_b, v_b, t_am = carry2
+                hit_l, tmin_l = slab(node + 1, t_b)
+                hit_r, tmin_r = slab(a, t_b)
+                any_l = jnp.any(hit_l)
+                any_r = jnp.any(hit_r)
+                m_l = jnp.min(jnp.where(hit_l, tmin_l, INF))
+                m_r = jnp.min(jnp.where(hit_r, tmin_r, INF))
+                axis = -tag - 1
+                # left-first iff the packet travels in +axis direction
+                left_near = jnp.where(
+                    axis == 0, sgn[0],
+                    jnp.where(axis == 1, sgn[1], sgn[2])) != 0
+                return any_l, any_r, m_l, m_r, left_near
 
-        def do_interior(carry):
-            return carry
+            def skip_interior(carry2):
+                f = jnp.bool_(False)
+                z = jnp.float32(0.0)
+                return f, f, z, z, f
 
-        t_best, tri_best, u_best, v_best = jax.lax.cond(
-            hit_any & is_leaf, do_leaf, do_interior,
-            (t_best, tri_best, u_best, v_best))
+            # leaves mutate the vector bests; interiors produce push info
+            leaf_out = jax.lax.cond(
+                is_leaf, do_leaf, lambda c: c,
+                (t_best, tri_best, u_best, v_best, t_allmax))
+            any_l, any_r, m_l, m_r, left_near = jax.lax.cond(
+                is_leaf, skip_interior, do_interior,
+                (t_best, tri_best, u_best, v_best, t_allmax))
+            t_best, tri_best, u_best, v_best, t_allmax = leaf_out
 
-        # push children of a hit interior node (shared stack, SMEM)
-        push = hit_any & (~is_leaf)
+            # ordered push: far child first so the near child pops first
+            near_idx = jnp.where(left_near, node + 1, a)
+            far_idx = jnp.where(left_near, a, node + 1)
+            near_m = jnp.where(left_near, m_l, m_r)
+            far_m = jnp.where(left_near, m_r, m_l)
+            near_any = jnp.where(left_near, any_l, any_r)
+            far_any = jnp.where(left_near, any_r, any_l)
 
-        def do_push(sp):
-            stack_ref[sp + 1] = a            # right child
-            stack_ref[sp + 2] = node + 1     # left child (popped first)
-            return sp + 2
+            sp1 = sp + far_any.astype(jnp.int32)
 
-        sp = jax.lax.cond(push & (sp + 2 < STACK), do_push,
-                          lambda s: s, sp)
-        return sp, t_best, tri_best, u_best, v_best
+            @pl.when(far_any)
+            def _():
+                stack_ref[sp1] = far_idx
+                stackt_ref[sp1] = far_m
+
+            sp2 = sp1 + near_any.astype(jnp.int32)
+
+            @pl.when(near_any)
+            def _():
+                stack_ref[sp2] = near_idx
+                stackt_ref[sp2] = near_m
+
+            return sp2, t_best, tri_best, u_best, v_best, t_allmax
+
+        # pop culling: stale entries (pushed before t_best shrank) skipped
+        live = tpop <= t_allmax
+        return jax.lax.cond(
+            live, process, lambda c: c,
+            (sp, t_best, tri_best, u_best, v_best, t_allmax))
 
     init = (jnp.int32(0), jnp.full((BLOCK,), INF),
             jnp.full((BLOCK,), -1, jnp.int32),
-            jnp.zeros((BLOCK,)), jnp.zeros((BLOCK,)))
-    _, t_best, tri_best, u_best, v_best = jax.lax.while_loop(cond, body,
-                                                             init)
+            jnp.zeros((BLOCK,)), jnp.zeros((BLOCK,)), jnp.float32(INF))
+    out = jax.lax.while_loop(cond, body, init)
+    _, t_best, tri_best, u_best, v_best, _ = out
     t_out[:] = t_best
     tri_out[:] = tri_best
     u_out[:] = u_best
     v_out[:] = v_best
+
+
+def _vec_spec():
+    return pl.BlockSpec((BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM)
 
 
 @partial(jax.jit, static_argnames=('max_leaf', 'interpret'))
@@ -206,46 +296,242 @@ def intersect_packet(nodes, tris, org, dirn, tnear, tfar,
                      max_leaf: int = 64, interpret: bool = False) -> Hit:
     """Closest-hit packet traversal.
 
-    nodes: (N, 8) f32 (pack_nodes); tris: (T, 16) f32 (pack_tris);
+    nodes: (N, 8) f32 (pack_nodes); tris: (G, 128) f32 (pack_tris);
     org/dirn: (R, 3) with R a multiple of BLOCK.
     """
     r = org.shape[0]
     assert r % BLOCK == 0, f"ray count must be a multiple of {BLOCK}"
     grid = (r // BLOCK,)
 
-    def vec_spec():
-        return pl.BlockSpec((BLOCK,), lambda i: (i,),
-                            memory_space=pltpu.VMEM)
-
     t, tri, u, v = pl.pallas_call(
-        partial(_kernel, max_leaf=max_leaf, any_hit=False),
+        partial(_kernel, max_leaf=max_leaf),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # nodes (full)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # nodes (scalar mem)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # tris (full)
-            vec_spec(), vec_spec(), vec_spec(),      # org xyz
-            vec_spec(), vec_spec(), vec_spec(),      # dir xyz
-            vec_spec(), vec_spec(),                  # tnear, tfar
+            _vec_spec(), _vec_spec(), _vec_spec(),   # org xyz
+            _vec_spec(), _vec_spec(), _vec_spec(),   # dir xyz
+            _vec_spec(), _vec_spec(),                # tnear, tfar
         ],
-        out_specs=[vec_spec(), vec_spec(), vec_spec(), vec_spec()],
+        out_specs=[_vec_spec(), _vec_spec(), _vec_spec(), _vec_spec()],
         out_shape=[
             jax.ShapeDtypeStruct((r,), jnp.float32),
             jax.ShapeDtypeStruct((r,), jnp.int32),
             jax.ShapeDtypeStruct((r,), jnp.float32),
             jax.ShapeDtypeStruct((r,), jnp.float32),
         ],
-        scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32),
+                        pltpu.SMEM((STACK,), jnp.float32)],
         interpret=interpret,
-    )(nodes, tris,
+    )(nodes.reshape(-1), tris,
       org[:, 0], org[:, 1], org[:, 2],
       dirn[:, 0], dirn[:, 1], dirn[:, 2], tnear, tfar)
     return Hit(t, tri, u, v)
 
 
+def _ray_sort_key(org, dirn, bbox_lo, bbox_hi):
+    """Coherence key for wavefront ray binning: direction octant (3 high
+    bits) then a 15-bit origin Morton code.  Bounce>=1 rays arrive in
+    pixel order with scattered directions/origins; packets of
+    same-octant, nearby-origin rays restore the frustum coherence the
+    shared-stack traversal needs (measured: random rays 0.5 -> ~10+ Mrps).
+    The reference never needed this — Embree's single-ray traversal is
+    order-insensitive (pathtraceintegrator.cpp recursion); on TPU the
+    packet IS the SIMD unit, so binning is the analog of Embree's
+    internal ray-stream sorting (rtcIntersect1M)."""
+    lo = jnp.asarray(bbox_lo, jnp.float32)
+    span = jnp.maximum(jnp.asarray(bbox_hi, jnp.float32) - lo, 1e-6)
+    q = jnp.clip((org - lo) / span, 0.0, 1.0)
+    cell = (q * 31.0).astype(jnp.uint32)              # 5 bits per axis
+    m = jnp.zeros(org.shape[0], jnp.uint32)
+    for b in range(5):                                 # interleave (Morton)
+        for a in range(3):
+            bit = (cell[:, a] >> b) & 1
+            m = m | (bit << jnp.uint32(3 * b + a))
+    oct_ = ((dirn[:, 0] < 0).astype(jnp.uint32)
+            | ((dirn[:, 1] < 0).astype(jnp.uint32) << 1)
+            | ((dirn[:, 2] < 0).astype(jnp.uint32) << 2))
+    return (oct_ << jnp.uint32(15)) | m
+
+
+def _sorted_call(fn, n_outs, org, dirn, tnear, tfar, bbox_lo, bbox_hi):
+    """Run fn on octant/Morton-sorted rays; unsort its outputs.  Dead
+    rays (tfar <= tnear, the integrator's inactive-lane marker) sort to
+    the very end so they fill all-dead packets that exit immediately."""
+    key = _ray_sort_key(org, dirn, bbox_lo, bbox_hi)
+    key = key | ((tfar <= tnear).astype(jnp.uint32) << jnp.uint32(30))
+    perm = jnp.argsort(key)
+    outs = fn(org[perm], dirn[perm], tnear[perm], tfar[perm])
+    if n_outs == 1:
+        outs = (outs,)
+    inv = jnp.argsort(perm)
+    outs = tuple(o[inv] for o in outs)
+    return outs[0] if n_outs == 1 else outs
+
+
+@partial(jax.jit, static_argnames=('bbox_lo', 'bbox_hi', 'max_leaf',
+                                   'interpret'))
+def intersect_packet_sorted(nodes, tris, org, dirn, tnear, tfar,
+                            bbox_lo, bbox_hi, max_leaf: int = 64,
+                            interpret: bool = False) -> Hit:
+    """Closest-hit with wavefront ray binning (see _ray_sort_key)."""
+    def run(o, d, tn, tf):
+        h = intersect_packet(nodes, tris, o, d, tn, tf,
+                             max_leaf=max_leaf, interpret=interpret)
+        return (h.t, h.tri, h.u, h.v)
+
+    t, tri, u, v = _sorted_call(run, 4, org, dirn, tnear, tfar,
+                                bbox_lo, bbox_hi)
+    return Hit(t, tri, u, v)
+
+
+@partial(jax.jit, static_argnames=('bbox_lo', 'bbox_hi', 'max_leaf',
+                                   'interpret'))
+def occluded_packet_sorted(nodes, tris, org, dirn, tnear, tfar,
+                           bbox_lo, bbox_hi, max_leaf: int = 64,
+                           interpret: bool = False):
+    """Any-hit with wavefront ray binning (see _ray_sort_key)."""
+    def run(o, d, tn, tf):
+        return occluded_packet(nodes, tris, o, d, tn, tf,
+                               max_leaf=max_leaf, interpret=interpret)
+
+    return _sorted_call(run, 1, org, dirn, tnear, tfar, bbox_lo, bbox_hi)
+
+
+def _kernel_any(nodes_ref, tris_ref,
+                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                tn_ref, tf_ref, occ_out,
+                stack_ref, max_leaf: int):
+    """Any-hit: unordered traversal pruned against the not-yet-occluded
+    mask, terminating as soon as the whole packet is occluded.  occ is
+    carried as i32 (Mosaic can't carry i1 vectors through scf loops)."""
+    ox = ox_ref[:]
+    oy = oy_ref[:]
+    oz = oz_ref[:]
+    dx = dx_ref[:]
+    dy = dy_ref[:]
+    dz = dz_ref[:]
+    tnear = tn_ref[:]
+    tfar = tf_ref[:]
+
+    def safe_inv(d):
+        return 1.0 / jnp.where(jnp.abs(d) > 1e-30, d,
+                               jnp.where(d >= 0, 1e-30, -1e-30))
+
+    ix = safe_inv(dx)
+    iy = safe_inv(dy)
+    iz = safe_inv(dz)
+
+    def slab_unocc(n, unocc):
+        b = 8 * n
+        t0x = (nodes_ref[b + 0] - ox) * ix
+        t1x = (nodes_ref[b + 3] - ox) * ix
+        t0y = (nodes_ref[b + 1] - oy) * iy
+        t1y = (nodes_ref[b + 4] - oy) * iy
+        t0z = (nodes_ref[b + 2] - oz) * iz
+        t1z = (nodes_ref[b + 5] - oz) * iz
+        tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                       jnp.minimum(t0y, t1y)),
+                           jnp.maximum(jnp.minimum(t0z, t1z), tnear))
+        tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                       jnp.maximum(t0y, t1y)),
+                           jnp.minimum(jnp.maximum(t0z, t1z), tfar))
+        return jnp.any((tmin <= tmax) & unocc)
+
+    stack_ref[0] = 0
+
+    def cond(state):
+        sp, occ, done = state
+        return (sp >= 0) & jnp.logical_not(done)
+
+    def body(state):
+        sp, occ, done = state
+        node = stack_ref[sp]
+        sp = sp - 1
+        a = nodes_ref[8 * node + 6].astype(jnp.int32)
+        tag = nodes_ref[8 * node + 7].astype(jnp.int32)
+        is_leaf = tag > 0
+        unocc = occ == 0
+
+        def do_leaf(carry):
+            occ, _ = carry
+
+            def tri_test(w, _tri_index, occ):
+                oup = ox * w[0] + oy * w[3] + oz * w[6] + w[9]
+                ovp = ox * w[1] + oy * w[4] + oz * w[7] + w[10]
+                owp = ox * w[2] + oy * w[5] + oz * w[8] + w[11]
+                dup = dx * w[0] + dy * w[3] + dz * w[6]
+                dvp = dx * w[1] + dy * w[4] + dz * w[7]
+                dwp = dx * w[2] + dy * w[5] + dz * w[8]
+                inv_dw = jnp.where(jnp.abs(dwp) > 1e-12, 1.0 / dwp, 0.0)
+                th = -owp * inv_dw
+                uh = oup + th * dup
+                vh = ovp + th * dvp
+                ngd = dx * w[12] + dy * w[13] + dz * w[14]
+                cull_ok = (w[15] != 1.0) | (ngd < 0.0)
+                hit = ((jnp.abs(dwp) > 1e-12)
+                       & (uh >= 0.0) & (vh >= 0.0) & (uh + vh <= 1.0)
+                       & (th > tnear) & (th < tfar) & cull_ok)
+                return jnp.maximum(occ, hit.astype(jnp.int32))
+
+            occ = _leaf_groups(tris_ref, a, tag, max_leaf, tri_test, occ)
+            # early exit once the whole packet is occluded (rtcOccluded's
+            # first-hit semantics, amortized over the packet)
+            return occ, jnp.all(occ > 0)
+
+        def do_interior(carry):
+            occ, done = carry
+            hit_l = slab_unocc(node + 1, unocc)
+            hit_r = slab_unocc(a, unocc)
+            return hit_l, hit_r
+
+        occ, done = jax.lax.cond(is_leaf, do_leaf, lambda c: c, (occ, done))
+        push_l, push_r = jax.lax.cond(
+            is_leaf, lambda c: (jnp.bool_(False), jnp.bool_(False)),
+            do_interior, (occ, done))
+
+        sp1 = sp + push_r.astype(jnp.int32)
+
+        @pl.when(push_r)
+        def _():
+            stack_ref[sp1] = a
+
+        sp2 = sp1 + push_l.astype(jnp.int32)
+
+        @pl.when(push_l)
+        def _():
+            stack_ref[sp2] = node + 1
+
+        return sp2, occ, done
+
+    init = (jnp.int32(0), jnp.zeros((BLOCK,), jnp.int32), jnp.bool_(False))
+    _, occ, _ = jax.lax.while_loop(cond, body, init)
+    occ_out[:] = occ
+
+
+@partial(jax.jit, static_argnames=('max_leaf', 'interpret'))
 def occluded_packet(nodes, tris, org, dirn, tnear, tfar,
                     max_leaf: int = 64, interpret: bool = False):
-    """Any-hit via the same kernel (closest-hit then finiteness test —
-    a dedicated early-exit variant is a further optimization)."""
-    hit = intersect_packet(nodes, tris, org, dirn, tnear, tfar,
-                           max_leaf=max_leaf, interpret=interpret)
-    return hit.tri >= 0
+    """Any-hit packet traversal (early-exit shadow kernel)."""
+    r = org.shape[0]
+    assert r % BLOCK == 0, f"ray count must be a multiple of {BLOCK}"
+    grid = (r // BLOCK,)
+
+    occ = pl.pallas_call(
+        partial(_kernel_any, max_leaf=max_leaf),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # nodes (scalar mem)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # tris (full)
+            _vec_spec(), _vec_spec(), _vec_spec(),
+            _vec_spec(), _vec_spec(), _vec_spec(),
+            _vec_spec(), _vec_spec(),
+        ],
+        out_specs=_vec_spec(),
+        out_shape=jax.ShapeDtypeStruct((r,), jnp.int32),
+        scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)],
+        interpret=interpret,
+    )(nodes.reshape(-1), tris,
+      org[:, 0], org[:, 1], org[:, 2],
+      dirn[:, 0], dirn[:, 1], dirn[:, 2], tnear, tfar)
+    return occ != 0
