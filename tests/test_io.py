@@ -142,3 +142,121 @@ def test_reference_xml_scenes_load():
         assert len(sb.meshes) > 0 or len(sb.lights) > 0, fn
         ok += 1
     assert ok >= 5
+
+
+def test_exr_roundtrip_zip(tmp_path):
+    """HALF RGB zip round-trip through the native EXR codec
+    (common/image/exr.cpp parity: scanline HALF storage)."""
+    from yulio_raytracer_tpu.io import exr
+    rs = np.random.RandomState(3)
+    img = (rs.rand(37, 53, 3).astype(np.float32) * 8.0) ** 2
+    p = str(tmp_path / "t.exr")
+    exr.store_exr(p, img, compression='zip')
+    back = exr.load_exr(p)
+    assert back.shape == (37, 53, 3)
+    # HALF storage: ~1e-3 relative precision
+    np.testing.assert_allclose(back, img, rtol=2e-3, atol=1e-4)
+    # and through the image-cache dispatch layer
+    image.clear_cache()
+    np.testing.assert_array_equal(image.load(p), back)
+
+
+def test_exr_variants(tmp_path):
+    from yulio_raytracer_tpu.io import exr
+    rs = np.random.RandomState(4)
+    img = rs.rand(20, 31, 4).astype(np.float32)
+    for compression in ('none', 'zips', 'zip'):
+        p = str(tmp_path / f"t_{compression}.exr")
+        exr.store_exr(p, img, compression=compression)
+        back = exr.load_exr(p)
+        assert back.shape == (20, 31, 4)
+        np.testing.assert_allclose(back, img, rtol=2e-3, atol=1e-4)
+    # 17 rows: ragged final 16-line zip block
+    img2 = rs.rand(17, 8, 3).astype(np.float32)
+    p2 = str(tmp_path / "ragged.exr")
+    exr.store_exr(p2, img2, compression='zip')
+    np.testing.assert_allclose(exr.load_exr(p2), img2, rtol=2e-3,
+                               atol=1e-4)
+
+
+def test_exr_hdri_in_scene(tmp_path):
+    """An .exr HDRI drives an environment light end-to-end (the
+    reference's common HDRI-dome workflow, exr.cpp + hdrilight.cpp)."""
+    from yulio_raytracer_tpu.io import exr
+    from yulio_raytracer_tpu.lights import lights as glights
+    img = np.zeros((8, 16, 3), np.float32)
+    img[:4] = (4.0, 2.0, 1.0)       # bright upper hemisphere
+    p = str(tmp_path / "env.exr")
+    exr.store_exr(p, img)
+    image.clear_cache()
+    tex = image.load(p)
+    l = glights.hdri(tex)
+    up = jnp.asarray([[0.0, 1.0, 0.0]])
+    le = glights.le_env(l, -up)     # wo points away; ray dir = +up
+    assert float(le[0, 0]) > 1.0
+
+
+def test_xml_nested_include_and_tangents(tmp_path):
+    """<xml src> includes under the current transform
+    (xml_loader.cpp:558-561) and per-vertex tangent_x/tangent_y arrays
+    (trianglemesh_full.cpp:39-47)."""
+    from yulio_raytracer_tpu.io import xml_scene
+    inner = tmp_path / "inner.xml"
+    inner.write_text("""<scene>
+      <TriangleMesh>
+        <material><code>"matte"</code>
+          <parameters><float3 name="reflectance">0.5 0.5 0.5</float3>
+          </parameters></material>
+        <positions>0 0 0  1 0 0  0 1 0</positions>
+        <tangent_x>0 0 1  0 0 1  0 0 1</tangent_x>
+        <tangent_y>0 1 0  0 1 0  0 1 0</tangent_y>
+        <triangles>0 1 2</triangles>
+      </TriangleMesh>
+    </scene>""")
+    outer = tmp_path / "outer.xml"
+    outer.write_text("""<scene>
+      <Transform>
+        <AffineSpace translate="10 0 0"/>
+        <xml src="inner.xml"/>
+      </Transform>
+    </scene>""")
+    sb = SceneBuilder()
+    xml_scene.load_xml(str(outer), sb)
+    assert len(sb.meshes) == 1
+    m = sb.meshes[0]
+    # include inherited the translate
+    np.testing.assert_allclose(m.positions[0], [10, 0, 0], atol=1e-6)
+    # tangents survived the transform (pure translation)
+    np.testing.assert_allclose(m.tangent_x[0], [0, 0, 1], atol=1e-6)
+    # and reach the committed shade table as the authored frame
+    scene = sb.commit()
+    tab = np.asarray(scene.geom['shade_tab'])
+    valid = np.asarray(scene.geom['valid'])
+    np.testing.assert_allclose(tab[valid][:, 22:25], [[0, 0, 1]],
+                               atol=1e-5)
+    np.testing.assert_allclose(tab[valid][:, 25:28], [[0, 1, 0]],
+                               atol=1e-5)
+
+
+def test_xml_assign_scene_ref(tmp_path):
+    """<assign type="scene"> + <ref> re-instance a named subgraph
+    (xml_loader.cpp:551-553,573-577)."""
+    from yulio_raytracer_tpu.io import xml_scene
+    f = tmp_path / "refs.xml"
+    f.write_text("""<scene>
+      <assign type="scene" id="ball">
+        <Sphere>
+          <material><code>"matte"</code><parameters/></material>
+          <position>0 0 0</position><radius>1</radius>
+          <numTheta>4</numTheta><numPhi>4</numPhi>
+        </Sphere>
+      </assign>
+      <Transform><AffineSpace translate="5 0 0"/><ref id="ball"/></Transform>
+      <Transform><AffineSpace translate="-5 0 0"/><ref id="ball"/></Transform>
+    </scene>""")
+    sb = SceneBuilder()
+    xml_scene.load_xml(str(f), sb)
+    assert len(sb.meshes) == 2
+    c0 = sb.meshes[0].positions.mean(axis=0)
+    c1 = sb.meshes[1].positions.mean(axis=0)
+    assert c0[0] > 4.0 and c1[0] < -4.0

@@ -28,6 +28,9 @@ def load(path: str) -> np.ndarray:
         img = _load_ppm(path)
     elif ext == '.pfm':
         img = _load_pfm(path)
+    elif ext == '.exr':
+        from . import exr
+        img = exr.load_exr(path)
     else:
         from PIL import Image
         with Image.open(path) as im:
@@ -45,6 +48,10 @@ def store(path: str, img: np.ndarray, jpeg_quality: int = 90):
     arr = np.asarray(img)
     if ext == '.pfm':
         _store_pfm(path, arr.astype(np.float32))
+        return
+    if ext == '.exr':
+        from . import exr
+        exr.store_exr(path, arr.astype(np.float32))
         return
     if arr.dtype != np.uint8:
         arr = np.clip(arr * 255.0 + 0.5, 0, 255).astype(np.uint8)
