@@ -62,3 +62,49 @@ def test_rgbe8_roundtrip():
     bound = rgb.max(axis=-1, keepdims=True) / 128.0 + 1e-6
     assert (np.abs(dec - rgb) <= bound).all()
     np.testing.assert_array_equal(dec[0, 0], 0.0)
+
+
+def test_jpeg_tier_roundtrip():
+    # smooth gradients (render-like content; JPEG is built for it)
+    y, x = np.mgrid[0:32, 0:64].astype(np.float32)
+    rgb = np.stack([x / 64, y / 32, 0.5 + 0.4 * np.sin(x / 9)],
+                   axis=-1).astype(np.float32) * 0.9
+    data = network.jpeg_encode(rgb, quality=95)
+    assert isinstance(data, bytes) and data[:2] == b'\xff\xd8'  # JFIF SOI
+    dec = network.jpeg_decode(data)
+    assert dec.shape == rgb.shape
+    # lossy tier: perceptual-space error within a few LSBs at q=95
+    err = np.abs(np.power(dec, 1 / 2.2) - np.power(rgb, 1 / 2.2))
+    assert float(err.mean()) < 0.02
+    # quality plumbing: lower quality -> smaller payload
+    assert len(network.jpeg_encode(rgb, quality=20)) < len(data)
+
+
+def test_jpeg_server_encoding():
+    """End-to-end 'jpeg' encoding through a real server/client pair
+    (the -encode jpeg flag of network_server.cpp:680-739)."""
+    port = 19475
+    server = network.RenderServer(port, single_connection=True)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+
+    sb = builtin_scenes.cornell_box(with_boxes=False)
+    camera = builtin_scenes.cornell_camera(32, 32)
+    params = pt.PTParams(max_depth=2)
+
+    client = network.NetworkClient([('127.0.0.1', port)])
+    client.set_scene(sb)
+    img, weight = client.render(camera, params, 32, 32, spp=2, seed=3,
+                                encoding='jpeg', jpeg_quality=95)
+    client.close()
+    server.stop()
+
+    assert (weight == 2.0).all()
+    scene = sb.commit()
+    film, _ = renderer.render_frame(scene, camera, params, 32, 32, spp=2,
+                                    seed=3)
+    local = np.asarray(film.rgb_sum)
+    # lossy but close in display space (radiance sums carry weight=spp)
+    err = np.abs(np.power(np.maximum(img, 0) / 2, 1 / 2.2)
+                 - np.power(np.clip(local / 2, 0, None), 1 / 2.2))
+    assert float(np.median(err)) < 0.05

@@ -73,6 +73,29 @@ def rgbe8_decode(rgbe: np.ndarray) -> np.ndarray:
     return rgbe[..., :3].astype(np.float32) * f[..., None]
 
 
+def jpeg_encode(rgb: np.ndarray, quality: int = 90) -> bytes:
+    """JPEG row-band tier (network_server.cpp:680-739, libjpeg-turbo
+    there; Pillow's C libjpeg here).  Linear radiance is sent through a
+    gamma-2.2 transfer so JPEG's perceptual quantization operates in
+    display space; values above 1.0 clip (lossy by design — the tier
+    exists for thin DCN links)."""
+    import io
+    from PIL import Image
+    u8 = np.clip(np.power(np.maximum(rgb, 0.0), 1.0 / 2.2) * 255.0 + 0.5,
+                 0, 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(u8).save(buf, format='JPEG', quality=int(quality))
+    return buf.getvalue()
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    import io
+    from PIL import Image
+    with Image.open(io.BytesIO(data)) as im:
+        u8 = np.asarray(im.convert('RGB'), np.float32)
+    return np.power(u8 / 255.0, 2.2)
+
+
 def active_rows(height: int, server_id: int, server_count: int) -> np.ndarray:
     """The reference's 4-row band interleave (swapchain.h:57-60)."""
     y = np.arange(height)
@@ -165,8 +188,15 @@ class RenderServer:
                 rgb[lo:hi] += np.asarray(out[:hi - lo])
         out = rgb.reshape(len(rows), w, 3)
         if msg.get('encoding') == 'rgbe8':
-            # the bandwidth tier of network_server.cpp:680-739
+            # the bandwidth tier of network_common.h:83-103
             return {'rows': rows, 'rgbe': rgbe8_encode(out),
+                    'weight': float(spp)}
+        if msg.get('encoding') == 'jpeg':
+            # the thin-link tier (network_server.cpp:680-739); the wire
+            # carries per-spp-averaged radiance as a JPEG
+            return {'rows': rows,
+                    'jpeg': jpeg_encode(out / max(spp, 1),
+                                        msg.get('jpeg_quality', 90)),
                     'weight': float(spp)}
         return {'rows': rows, 'rgb': out, 'weight': float(spp)}
 
@@ -192,13 +222,14 @@ class NetworkClient:
             _send(s, {'op': 'set_scene', 'builder': payload})
 
     def render(self, camera, params, width, height, spp, seed=0,
-               encoding: str = 'native'):
-        """encoding: 'native' (f32 rows) or 'rgbe8' (4 B/px, the DCN
-        compression tier of network_device.cpp:256-310)."""
+               encoding: str = 'native', jpeg_quality: int = 90):
+        """encoding: 'native' (f32 rows), 'rgbe8' (4 B/px shared-exponent,
+        network_device.cpp:256-310) or 'jpeg' (lossy row bands with
+        quality 1-100, the `-encode jpeg` tier of network_server.cpp)."""
         msg = {'op': 'render', 'camera': pickle.dumps(camera, protocol=4),
                'params': {**params.__dict__}, 'width': width,
                'height': height, 'spp': spp, 'seed': seed,
-               'encoding': encoding}
+               'encoding': encoding, 'jpeg_quality': jpeg_quality}
         for s in self.socks:
             _send(s, msg)
         img = np.zeros((height, width, 3), np.float32)
@@ -222,8 +253,13 @@ class NetworkClient:
             if e is not None:
                 raise ConnectionError(f"server {i} failed: {e!r}") from e
         for r in results:
-            img[r['rows']] = (rgbe8_decode(r['rgbe']) if 'rgbe' in r
-                              else r['rgb'])
+            if 'rgbe' in r:
+                band = rgbe8_decode(r['rgbe'])
+            elif 'jpeg' in r:
+                band = jpeg_decode(r['jpeg']) * r['weight']
+            else:
+                band = r['rgb']
+            img[r['rows']] = band
             weight[r['rows']] = r['weight']
         return img, weight
 
