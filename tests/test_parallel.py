@@ -63,3 +63,24 @@ def test_sharded_accumulation(scene):
     m1 = float(jnp.mean(accum.resolve(f1)))
     m2 = float(jnp.mean(accum.resolve(f2)))
     assert abs(m1 - m2) < 0.15 * max(m1, 1e-6)
+
+
+def test_sharded_render_odd_size():
+    """Pixel counts that don't divide the px axis pad instead of assert
+    (a 1536^2 face on a 7-healthy-device mesh must render)."""
+    from yulio_raytracer_tpu.parallel import sharding
+    from yulio_raytracer_tpu.io import builtin_scenes
+    from yulio_raytracer_tpu.integrator import pathtracer as pt
+    from yulio_raytracer_tpu.film import accum
+    import numpy as np
+
+    scene = builtin_scenes.cornell_box(with_boxes=False).commit()
+    params = pt.PTParams(max_depth=2)
+    # 18x14 = 252 pixels, not divisible by 8 devices
+    camera = builtin_scenes.cornell_camera(18, 14)
+    mesh = sharding.make_mesh(8)
+    film = sharding.render_frame_sharded(scene, camera, params, 18, 14,
+                                         spp=1, mesh=mesh, seed=0)
+    out = np.asarray(accum.resolve(film))
+    assert out.shape == (14, 18, 3)
+    assert np.isfinite(out).all()

@@ -158,23 +158,30 @@ def build_native(v0, e1, e2, valid, leaf_size=64, nbins=16):
 def build(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
           valid: np.ndarray | None = None,
           leaf_size: int = 64, nbins: int = 16,
-          use_native: bool = True) -> FlatBVH:
+          use_native: bool = True, bounds=None) -> FlatBVH:
     """Build a flattened skip-pointer BVH over triangles (v0, v0+e1, v0+e2).
 
     Invalid (padding/degenerate) triangles are packed into the final leaf's
-    tail positions with empty bounds so they are never hit.
+    tail positions with empty bounds so they are never hit.  `bounds`
+    overrides the per-triangle boxes (motion blur builds over the union
+    of the t=0 and t=1 boxes — the bvh4mb analog); the override always
+    uses the numpy builder.
     """
     t = len(v0)
     if valid is None:
         valid = np.ones(t, bool)
-    if use_native:
+    if use_native and bounds is None:
         nat = build_native(v0, e1, e2, valid, leaf_size, nbins)
         if nat is not None:
             return nat
-    p1 = v0 + e1
-    p2 = v0 + e2
-    lo = np.minimum(np.minimum(v0, p1), p2).astype(np.float64)
-    hi = np.maximum(np.maximum(v0, p1), p2).astype(np.float64)
+    if bounds is not None:
+        lo = np.asarray(bounds[0], np.float64).copy()
+        hi = np.asarray(bounds[1], np.float64).copy()
+    else:
+        p1 = v0 + e1
+        p2 = v0 + e2
+        lo = np.minimum(np.minimum(v0, p1), p2).astype(np.float64)
+        hi = np.maximum(np.maximum(v0, p1), p2).astype(np.float64)
     if valid is None:
         valid = np.ones(t, bool)
     cent = 0.5 * (lo + hi)
@@ -260,7 +267,8 @@ def build(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
 
 _PER_TRIANGLE_KEYS = frozenset({
     'v0', 'e1', 'e2', 'ng', 'vn', 'uv', 'mat_id', 'light_id', 'cull',
-    'illum_mask', 'shadow_mask', 'valid', 'mv0', 'me1', 'me2'})
+    'illum_mask', 'shadow_mask', 'valid', 'mv0', 'me1', 'me2',
+    'ptx', 'pty'})
 
 
 def permute_geom(geom: dict, order: np.ndarray) -> dict:

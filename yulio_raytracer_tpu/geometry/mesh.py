@@ -34,6 +34,11 @@ class HostMesh:
     normals: Optional[np.ndarray] = None    # (V, 3) f32 or None
     texcoords: Optional[np.ndarray] = None  # (V, 2) f32 or None
     motions: Optional[np.ndarray] = None    # (V, 3) f32 dP/dt (motion blur)
+    # per-vertex shading tangents (trianglemesh_full.cpp:39-47
+    # "tangent_x"/"tangent_y" parms; anisotropic BRDFs + bump mapping).
+    # When absent, frames are derived from the uv parameterization.
+    tangent_x: Optional[np.ndarray] = None   # (V, 3) f32
+    tangent_y: Optional[np.ndarray] = None   # (V, 3) f32
     material: int = 0
     light: int = -1                  # area-light id or -1
     cull: int = CULL_NONE
@@ -59,8 +64,14 @@ class HostMesh:
             nrm = (nrm / np.maximum(nlen, 1e-20)).astype(np.float32)
         mot = (np.asarray(self.motions @ l, np.float32)
                if self.motions is not None else None)
+
+        def _tvec(t):
+            return (np.asarray(t @ l, np.float32)
+                    if t is not None else None)
+
         return HostMesh(pos.astype(np.float32), self.triangles, nrm,
-                        self.texcoords, mot, self.material, self.light,
+                        self.texcoords, mot, _tvec(self.tangent_x),
+                        _tvec(self.tangent_y), self.material, self.light,
                         self.cull, self.illum_mask, self.shadow_mask)
 
 
@@ -137,6 +148,10 @@ class PackedGeometry:
     mv0: Optional[np.ndarray] = None   # (T, 3)
     me1: Optional[np.ndarray] = None
     me2: Optional[np.ndarray] = None
+    # authored per-triangle tangent frames (face mean of the per-vertex
+    # tangent_x/tangent_y arrays; None when no mesh authored them)
+    ptx: Optional[np.ndarray] = None   # (T, 3)
+    pty: Optional[np.ndarray] = None
 
     @property
     def num_triangles(self) -> int:
@@ -235,6 +250,15 @@ def add_shade_table(geom: dict) -> dict:
     geom = dict(geom)
     tx, ty = tangent_frames(np.asarray(geom['e1']), np.asarray(geom['e2']),
                             np.asarray(geom['uv']), np.asarray(geom['ng']))
+    if 'ptx' in geom:
+        # authored per-vertex tangents win over the uv-derived frame
+        # (NaN rows mark triangles without authored tangents)
+        ptx = np.asarray(geom.pop('ptx'))
+        pty = np.asarray(geom.pop('pty'))
+        has = np.isfinite(ptx).all(axis=1, keepdims=True)
+        tx = np.where(has, np.nan_to_num(ptx), tx).astype(np.float32)
+        ty = np.where(has & np.isfinite(pty).all(axis=1, keepdims=True),
+                      np.nan_to_num(pty), ty).astype(np.float32)
     geom['shade_tab'] = jnp.concatenate([
         geom['ng'].astype(jnp.float32),
         geom['vn'].reshape(t, 9).astype(jnp.float32),
@@ -255,8 +279,11 @@ def pack_meshes(meshes: list[HostMesh], pad_multiple: int = 128) -> PackedGeomet
     v0s, e1s, e2s, vns, uvs = [], [], [], [], []
     mats, lights, culls, ims, sms = [], [], [], [], []
     movs = []
+    ptxs, ptys = [], []
     any_motion = any(m.motions is not None and len(m.motions)
                      for m in meshes)
+    any_tangent = any(m.tangent_x is not None or m.tangent_y is not None
+                      for m in meshes)
     for m in meshes:
         pos = np.asarray(m.positions, np.float32)
         tri = np.asarray(m.triangles, np.int64)
@@ -280,6 +307,22 @@ def pack_meshes(meshes: list[HostMesh], pad_multiple: int = 128) -> PackedGeomet
             ng = np.cross(p1 - p0, p2 - p0)
             ng /= np.maximum(np.linalg.norm(ng, axis=-1, keepdims=True), 1e-20)
             vns.append(np.repeat(ng[:, None, :], 3, axis=1))
+        if any_tangent:
+            def face_mean(t):
+                t = np.asarray(t, np.float32)
+                v = (t[tri[:, 0]] + t[tri[:, 1]] + t[tri[:, 2]]) / 3.0
+                n = np.linalg.norm(v, axis=-1, keepdims=True)
+                return (v / np.maximum(n, 1e-20)).astype(np.float32)
+            if m.tangent_x is not None and len(m.tangent_x):
+                tx_ = face_mean(m.tangent_x)
+                ty_ = (face_mean(m.tangent_y)
+                       if m.tangent_y is not None and len(m.tangent_y)
+                       else np.full((len(tri), 3), np.nan, np.float32))
+            else:
+                tx_ = np.full((len(tri), 3), np.nan, np.float32)
+                ty_ = tx_
+            ptxs.append(tx_)
+            ptys.append(ty_)
         if m.texcoords is not None and len(m.texcoords):
             t = np.asarray(m.texcoords, np.float32)
             uvs.append(np.stack([t[tri[:, 0]], t[tri[:, 1]], t[tri[:, 2]]], axis=1))
@@ -352,4 +395,6 @@ def pack_meshes(meshes: list[HostMesh], pad_multiple: int = 128) -> PackedGeomet
         if movs else None,
         me2=_pad(np.concatenate([x[2] for x in movs]).astype(np.float32))
         if movs else None,
+        ptx=_pad(np.concatenate(ptxs), fill=np.nan) if ptxs else None,
+        pty=_pad(np.concatenate(ptys), fill=np.nan) if ptys else None,
     )

@@ -87,15 +87,22 @@ def _xfm_point(a, p):
 
 
 class XMLSceneLoader:
-    def __init__(self, path: str, sb):
+    def __init__(self, path: str, sb, transforms=None, depth: int = 0):
+        if depth > 16:
+            raise ValueError("XML include recursion too deep")
         self.sb = sb
+        self.depth = depth
         self.path = os.path.dirname(path)
         self.bin_path = os.path.splitext(path)[0] + '.bin'
         self.bin = open(self.bin_path, 'rb') if os.path.exists(self.bin_path) \
             else None
-        self.transforms = [_identity()]
+        # nested includes inherit the including file's transform stack top
+        # (xml_loader.cpp:558-561 wraps included prims in
+        # rtTransformPrimitive(transforms.top()))
+        self.transforms = list(transforms) if transforms else [_identity()]
         self.material_map: dict = {}      # <assign id=...>
         self.material_cache: dict = {}    # parameters-element identity cache
+        self.scene_map: dict = {}         # <assign type="scene"> / <ref>
         root = ET.parse(path).getroot()
         if root.tag != 'scene':
             raise ValueError("invalid scene tag")
@@ -179,6 +186,15 @@ class XMLSceneLoader:
         if tag == 'assign':
             if el.get('type') == 'material':
                 self.material_map[el.get('id')] = self._load_material(el[0])
+            elif el.get('type') == 'scene':
+                # named scene-graph node, re-instanced by <ref>
+                # (xml_loader.cpp:551-553, 573-577)
+                self.scene_map[el.get('id')] = el[0]
+            else:
+                raise ValueError(f"unknown assign type {el.get('type')}")
+            return
+        if tag == 'ref':
+            self._load_node(self.scene_map[el.get('id')])
             return
         if tag in ('Group',):
             for c in el:
@@ -197,8 +213,23 @@ class XMLSceneLoader:
                 self.sb.meshes[i] = self.sb.meshes[i].transformed(
                     top.astype(np.float32))
             return
-        if tag == 'xml':
-            raise NotImplementedError("nested <xml> includes")
+        if tag in ('xml', 'extern'):
+            # include another scene file under the current transform
+            # (xml_loader.cpp:558-572; 'extern' dispatches by extension
+            # through rtLoadScene)
+            src = os.path.join(self.path, el.get('src'))
+            ext = os.path.splitext(src)[1].lower()
+            if ext == '.xml':
+                XMLSceneLoader(src, self.sb, transforms=[top],
+                               depth=self.depth + 1)
+            elif ext == '.obj':
+                ids = gobj.load_obj(src, self.sb)
+                for i in ids:
+                    self.sb.meshes[i] = self.sb.meshes[i].transformed(
+                        top.astype(np.float32))
+            else:
+                raise ValueError(f"unsupported include {src}")
+            return
 
         if tag == 'TriangleMesh':
             mat = self._load_material(el.find('material'))
@@ -207,10 +238,14 @@ class XMLSceneLoader:
             uv = self._array(el.find('texcoords'), 2, np.float32)
             tris = self._array(el.find('triangles'), 3, np.int32)
             mot = self._array(el.find('motions'), 3, np.float32)
+            tgx = self._array(el.find('tangent_x'), 3, np.float32)
+            tgy = self._array(el.find('tangent_y'), 3, np.float32)
             m = HostMesh(pos, tris.astype(np.int32),
                          nrm if len(nrm) else None,
                          uv if len(uv) else None, material=mat,
-                         motions=mot if len(mot) else None)
+                         motions=mot if len(mot) else None,
+                         tangent_x=tgx if len(tgx) else None,
+                         tangent_y=tgy if len(tgy) else None)
             self.sb.add_mesh(m.transformed(top.astype(np.float32)))
             return
         if tag == 'Sphere':

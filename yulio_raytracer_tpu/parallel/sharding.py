@@ -78,7 +78,10 @@ def render_frame_sharded(scene, camera, params, width: int, height: int,
     npix = width * height
     n_px = mesh.shape['px']
     n_tri = mesh.shape['tri']
-    assert npix % n_px == 0, "pixel count must divide the px axis"
+    # awkward sizes (e.g. a 1536^2 face on a 7-healthy-device mesh) pad
+    # the pixel axis with redundant rays instead of asserting; the pad
+    # re-renders the first pixels and is dropped before accumulation
+    npix_pad = ((npix + n_px - 1) // n_px) * n_px
     if film is None:
         film = accum.create(height, width)
 
@@ -121,10 +124,11 @@ def render_frame_sharded(scene, camera, params, width: int, height: int,
             out_specs=P('px'),
             check_vma=False,
         )(scene_, camera_, pixel_ids, sample_ids, seed_)
+        rgb = rgb[:width_ * height_]
         return film_rgb + rgb.reshape(height_, width_, 3)
 
-    pixel_ids = jnp.arange(npix, dtype=jnp.uint32)
-    sample_ids = jnp.full((npix,), np.uint32(iteration * spp))
+    pixel_ids = jnp.arange(npix_pad, dtype=jnp.uint32) % npix
+    sample_ids = jnp.full((npix_pad,), np.uint32(iteration * spp))
     rgb_sum = step(scene, camera, film.rgb_sum, params, spp, width, height,
                    pixel_ids, sample_ids, jnp.uint32(seed))
     return accum.Film(rgb_sum, film.weight + float(spp))
