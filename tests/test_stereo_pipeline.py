@@ -125,3 +125,15 @@ def test_session_stop_discards(tmp_path):
     if st.state == rt.StateRT.Stopped:
         # partial outputs removed
         assert not [f for f in os.listdir(tmp_path) if f.endswith('.jpg')]
+
+
+def test_watermark_png_resource_pipeline():
+    """The watermark ships as a packaged PNG decoded through the image
+    layer (renderer.cpp:48-97's FreeImage-from-memory resource path)."""
+    import numpy as np
+    from yulio_raytracer_tpu.film import stereo_strip
+    wm = stereo_strip.load_watermark()
+    assert wm.shape == (100, 100, 4)
+    assert wm.dtype == np.float32
+    assert float(wm[..., 3].max()) > 0.2      # has visible alpha
+    assert float(wm[..., 3].min()) == 0.0     # and transparency

@@ -88,7 +88,7 @@ def render_stereo(sb, settings: gecs.RenderSettings, rigs,
     Returns list of written strip filenames.
     """
     if settings.watermark and watermark is None:
-        watermark = stereo_strip.default_watermark()
+        watermark = stereo_strip.load_watermark()
     if not settings.watermark:
         watermark = None
 

@@ -74,11 +74,29 @@ def strip_filename(scene_base: str, camera_name: str) -> str:
     return f"{scene_base}_{camera_name}.jpg"
 
 
+def load_watermark() -> np.ndarray:
+    """The packaged PNG watermark resource: the analog of the DLL's
+    embedded watermarkwhitetrasp_100x100.png decoded from memory via
+    FreeImage (renderer.cpp:48-97).  Here the 100x100 RGBA PNG ships as
+    package data (our own glyph, not the reference's logo bitmap) and is
+    decoded through the image layer; the procedural glyph remains the
+    fallback if package data is missing."""
+    import os
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'resources', 'watermark_100x100.png')
+    try:
+        from PIL import Image
+        with Image.open(path) as im:
+            return np.asarray(im.convert('RGBA'),
+                              np.float32) / 255.0
+    except OSError:
+        return default_watermark()
+
+
 def default_watermark(size: int = 100) -> np.ndarray:
-    """Procedural stand-in for the reference's embedded PNG resource
-    (devices/renderer/Resources/watermarkwhitetrasp_100x100.png, loaded
-    from the DLL via FreeImage — renderer.cpp:48-97): a translucent white
-    'Y' glyph on a transparent background, 100x100."""
+    """Procedural fallback for the packaged PNG resource (see
+    load_watermark): a translucent white 'Y' glyph on a transparent
+    background, 100x100."""
     wm = np.zeros((size, size, 4), np.float32)
     c = size // 2
     for y in range(size):
