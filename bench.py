@@ -1,45 +1,113 @@
-"""Benchmark driver: renders the Cornell golden scene on the available
-device and prints ONE JSON line with the headline metric.
+"""Benchmark driver: renders the benchmark scenes on the available device
+and prints one JSON line per metric.
 
-Metric: Mrays/s (steady-state, second frame) at 512x512, 32 spp, depth 4 —
-the reference's benchmark protocol measured mrps per frame the same way
-(integratorrenderer.cpp:101-111, scripts/benchmark.py:360-361).
-vs_baseline is measured against the north star's per-chip share:
-BASELINE.json targets >= 100 Mrays/s on a v5e-8, i.e. 12.5 Mrays/s/chip.
+Metrics (each its own JSON line, headline LAST):
+* cornell_512_mrps   — small-scene path (512x512, 32 spp, depth 4): the
+  fused dense Pallas intersector regime.
+* stereo_face_1536_mrps — the production render configuration's load
+  shape (YulioRT.h:38-41: 1536^2 faces, depth 10, tMaxShadowRay 120) on
+  the large scene, measured at reduced spp (the full 256 spp face is the
+  same compiled step run more times).
+* colonnade_1024_mrps — the north-star regime (BASELINE.json: Sponza-
+  scale scene, 1024x1024, 64 spp): BVH packet traversal + wavefront ray
+  binning.  Measured at 8 spp (same step, more passes at 64).
+
+Mrays/s is measured the reference's way — rays traced / wall seconds,
+steady state (integratorrenderer.cpp:101-111, scripts/benchmark.py:360).
+vs_baseline divides by the north star's per-chip share: >= 100 Mrays/s
+on a v5e-8 => 12.5 Mrays/s/chip (BASELINE.md:16).
 """
 import json
-import sys
-import time
 
 
 BASELINE_MRPS_PER_CHIP = 12.5
-WIDTH = HEIGHT = 512
-SPP = 32
-DEPTH = 4
+PSNR_TARGET_DB = 40.0       # BASELINE.md:16 hardware-parity acceptance
 
 
-def main():
-    import jax
+def bench_tpu_psnr():
+    """TPU-vs-CPU hardware parity: render the pinned golden config on
+    the live device and PSNR it against the committed CPU reference
+    render (assets/golden/cornell_64_cpu.npz, seed 42, 32 spp).  The
+    BASELINE.md acceptance metric demands >= 40 dB."""
+    import os
+    import numpy as np
+    from yulio_raytracer_tpu.io import builtin_scenes
+    from yulio_raytracer_tpu.integrator import pathtracer as pt
+    from yulio_raytracer_tpu import renderer
+    from yulio_raytracer_tpu.film import accum
+
+    golden = np.load(os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), 'assets', 'golden',
+        'cornell_64_cpu.npz'))['img']
+    scene = builtin_scenes.cornell_box().commit()
+    cam = builtin_scenes.cornell_camera(64, 64)
+    film, _ = renderer.render_frame(scene, cam, pt.PTParams(max_depth=4),
+                                    64, 64, spp=32, seed=42)
+    img = np.asarray(accum.resolve(film))
+    mse = float(((img - golden) ** 2).mean())
+    psnr = 10.0 * np.log10(max(float(golden.max()), 1e-9) ** 2
+                           / max(mse, 1e-20))
+    return psnr
+
+
+def bench_cornell():
     from yulio_raytracer_tpu.io import builtin_scenes
     from yulio_raytracer_tpu.integrator import pathtracer as pt
     from yulio_raytracer_tpu import renderer
 
     scene = builtin_scenes.cornell_box().commit()
-    camera = builtin_scenes.cornell_camera(WIDTH, HEIGHT)
-    params = pt.PTParams(max_depth=DEPTH)
+    camera = builtin_scenes.cornell_camera(512, 512)
+    params = pt.PTParams(max_depth=4)
+    renderer.render_frame(scene, camera, params, 512, 512, spp=32, seed=0)
+    _, stats = renderer.render_frame(scene, camera, params, 512, 512,
+                                     spp=32, seed=1)
+    return "cornell_512_mrps", stats
 
-    # warmup / compile (same static config as the timed frame)
-    renderer.render_frame(scene, camera, params, WIDTH, HEIGHT, spp=SPP,
-                          seed=0)
-    # timed frame
-    film, stats = renderer.render_frame(scene, camera, params, WIDTH,
-                                        HEIGHT, spp=SPP, seed=1)
+
+def bench_colonnade():
+    from yulio_raytracer_tpu.io import builtin_scenes
+    from yulio_raytracer_tpu.integrator import pathtracer as pt
+    from yulio_raytracer_tpu import renderer
+
+    scene = builtin_scenes.colonnade().commit(leaf_size=32)
+    camera = builtin_scenes.colonnade_camera(1024, 1024)
+    params = pt.PTParams(max_depth=4)
+    renderer.render_frame(scene, camera, params, 1024, 1024, spp=2, seed=0)
+    _, stats = renderer.render_frame(scene, camera, params, 1024, 1024,
+                                     spp=8, seed=1)
+    return "colonnade_1024_mrps", stats
+
+
+def bench_stereo_face():
+    from yulio_raytracer_tpu.io import builtin_scenes
+    from yulio_raytracer_tpu.integrator import pathtracer as pt
+    from yulio_raytracer_tpu import renderer
+
+    scene = builtin_scenes.colonnade().commit(leaf_size=32)
+    camera = builtin_scenes.colonnade_camera(1536, 1536)
+    params = pt.PTParams(max_depth=10, t_max_shadow_ray=120.0)
+    renderer.render_frame(scene, camera, params, 1536, 1536, spp=1, seed=0)
+    _, stats = renderer.render_frame(scene, camera, params, 1536, 1536,
+                                     spp=2, seed=1)
+    return "stereo_face_1536_mrps", stats
+
+
+def main():
+    psnr = bench_tpu_psnr()
     print(json.dumps({
-        "metric": "cornell_512_mrps",
-        "value": round(stats.mrps, 3),
-        "unit": "Mrays/s",
-        "vs_baseline": round(stats.mrps / BASELINE_MRPS_PER_CHIP, 4),
-    }))
+        "metric": "cornell_tpu_vs_cpu_psnr",
+        "value": round(psnr, 2),
+        "unit": "dB",
+        "vs_baseline": round(psnr / PSNR_TARGET_DB, 4),
+    }), flush=True)
+    for fn in (bench_cornell, bench_stereo_face, bench_colonnade):
+        metric, stats = fn()
+        print(json.dumps({
+            "metric": metric,
+            "value": round(stats.mrps, 3),
+            "unit": "Mrays/s",
+            "vs_baseline": round(stats.mrps / BASELINE_MRPS_PER_CHIP, 4),
+        }), flush=True)
 
 
 if __name__ == '__main__':

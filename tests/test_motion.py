@@ -74,3 +74,50 @@ def test_reference_sphere_motion_scene_loads():
     sb.add_light(gl.ambient((1.0, 1.0, 1.0)))
     scene = sb.commit()
     assert 'mv0' in scene.geom
+
+
+def test_motion_packet_matches_brute():
+    """Motion blur under the accelerated path: union-bounds BVH + the
+    time-aware MT packet kernel must match the dense time-aware
+    intersector exactly (the -accel bvh4mb regime of sphere_motion.ecs)."""
+    from yulio_raytracer_tpu.geometry import primitives
+    from yulio_raytracer_tpu.ops import pallas_traverse as ppt
+    sb = SceneBuilder()
+    m = sb.add_material(gmat.make_material('matte', {}))
+    sb.add_mesh(_moving_quad(m, speed=(2.0, 0.0, 0.0)))
+    sph = primitives.tessellate_sphere([0, 2, 0], 0.6, 10, 12, material=m)
+    sph.motions = np.tile(np.asarray([0.0, -1.5, 0.0], np.float32),
+                          (len(sph.positions), 1))
+    sb.add_mesh(sph)
+    scene = sb.commit(force_bvh=True, leaf_size=8)
+    assert scene.packet is not None and 'tris_mb' in scene.packet
+
+    rs = np.random.RandomState(9)
+    R = ppt.BLOCK
+    org = jnp.asarray(rs.randn(R, 3).astype(np.float32) * 2
+                      + np.asarray([0, 3, 0], np.float32))
+    d = rs.randn(R, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    tn = jnp.full((R,), 1e-4)
+    tf = jnp.full((R,), jnp.inf)
+    time = jnp.asarray(rs.rand(R).astype(np.float32))
+
+    hit = ppt.intersect_packet_mb(
+        scene.packet['nodes'], scene.packet['tris_mb'], org, d, tn, tf,
+        time, max_leaf=scene.leaf_size, interpret=True)
+    ref = intersect.intersect_brute(scene.geom, org, d, tn, tf, block=64,
+                                    time=time)
+    t1, t0 = np.asarray(hit.t), np.asarray(ref.t)
+    assert (np.isfinite(t1) == np.isfinite(t0)).all()
+    both = np.isfinite(t1)
+    np.testing.assert_allclose(t1[both], t0[both], rtol=1e-4, atol=1e-5)
+    assert (np.asarray(hit.tri)[both] == np.asarray(ref.tri)[both]).mean() \
+        > 0.999
+    occ = ppt.occluded_packet_mb(
+        scene.packet['nodes'], scene.packet['tris_mb'], org, d, tn,
+        jnp.full((R,), 4.0), time, max_leaf=scene.leaf_size,
+        interpret=True)
+    occ_ref = intersect.occluded_brute(scene.geom, org, d, tn,
+                                       jnp.full((R,), 4.0), time=time)
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(occ_ref))

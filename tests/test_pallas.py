@@ -162,3 +162,33 @@ def test_dense_occluded_any_hit():
     occ = ppd.occluded_dense(tris, org, d, tn, tf, interpret=True)
     ref = intersect.occluded_brute(geom, org, d, tn, tf, block=64)
     np.testing.assert_array_equal(np.asarray(occ), np.asarray(ref))
+
+
+def test_packet_hbm_matches_vmem():
+    """HBM-streaming leaf windows (DMA per leaf visit) must be
+    result-identical to the VMEM-resident path — the >VMEM scene regime
+    (Embree's DRAM-resident BVHs, api/scene_flat.h)."""
+    nodes, tris, geom, _ = _build([
+        primitives.tessellate_sphere([0, 0, 0], 1.0, 12, 16),
+        primitives.quad([-5, -1.2, -5], [5, -1.2, -5], [5, -1.2, 5],
+                        [-5, -1.2, 5])])
+    rs = np.random.RandomState(7)
+    R = ppt.BLOCK
+    org = jnp.asarray(rs.randn(R, 3).astype(np.float32) * 3)
+    d = rs.randn(R, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    tn = jnp.full((R,), 1e-4)
+    tf = jnp.full((R,), jnp.inf)
+    ref = ppt.intersect_packet(nodes, tris, org, d, tn, tf, max_leaf=8,
+                               interpret=True)
+    hit = ppt.intersect_packet(nodes, tris, org, d, tn, tf, max_leaf=8,
+                               interpret=True, hbm=True)
+    np.testing.assert_array_equal(np.asarray(hit.tri), np.asarray(ref.tri))
+    np.testing.assert_allclose(np.asarray(hit.t), np.asarray(ref.t),
+                               rtol=1e-6)
+    occ_ref = ppt.occluded_packet(nodes, tris, org, d, tn, tf, max_leaf=8,
+                                  interpret=True)
+    occ = ppt.occluded_packet(nodes, tris, org, d, tn, tf, max_leaf=8,
+                              interpret=True, hbm=True)
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(occ_ref))

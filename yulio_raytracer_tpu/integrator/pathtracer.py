@@ -82,7 +82,13 @@ def _use_packet(scene, org):
 def _intersect(scene, org, dirn, tnear, tfar, time=None,
                sort_rays=False):
     if 'mv0' in scene.geom and time is not None:
-        # motion blur: time-aware dense path (sphere_motion scenes)
+        # motion blur (sphere_motion / -accel bvh4mb scenes): packet
+        # traversal over union-bounds BVH when committed, dense otherwise
+        if _use_packet(scene, org) and 'tris_mb' in scene.packet:
+            from ..ops import pallas_traverse as ppt
+            return ppt.intersect_packet_mb(
+                scene.packet['nodes'], scene.packet['tris_mb'], org, dirn,
+                tnear, tfar, time, max_leaf=scene.leaf_size)
         return ops_i.intersect_brute(scene.geom, org, dirn, tnear, tfar,
                                      time=time)
     if _use_packet(scene, org):
@@ -95,10 +101,10 @@ def _intersect(scene, org, dirn, tnear, tfar, time=None,
             return ppt.intersect_packet_sorted(
                 scene.packet['nodes'], scene.packet['tris'], org, dirn,
                 tnear, tfar, scene.bbox_lo, scene.bbox_hi,
-                max_leaf=scene.leaf_size)
+                max_leaf=scene.leaf_size, hbm=scene.packet_hbm)
         return ppt.intersect_packet(
             scene.packet['nodes'], scene.packet['tris'], org, dirn,
-            tnear, tfar, max_leaf=scene.leaf_size)
+            tnear, tfar, max_leaf=scene.leaf_size, hbm=scene.packet_hbm)
     if scene.bvh is not None:
         return ops_t.intersect_bvh(scene.geom, scene.bvh, org, dirn,
                                    tnear, tfar, leaf_size=scene.leaf_size)
@@ -132,8 +138,14 @@ def _post_intersect_combined(scene, org, dirn, hit, tri_axis):
 def _occluded(scene, org, dirn, tnear, tfar, tri_axis=None, time=None,
               sort_rays=False):
     if 'mv0' in scene.geom and time is not None:
-        occ = ops_i.occluded_brute(scene.geom, org, dirn, tnear, tfar,
-                                   time=time)
+        if _use_packet(scene, org) and 'tris_mb' in scene.packet:
+            from ..ops import pallas_traverse as ppt
+            occ = ppt.occluded_packet_mb(
+                scene.packet['nodes'], scene.packet['tris_mb'], org, dirn,
+                tnear, tfar, time, max_leaf=scene.leaf_size)
+        else:
+            occ = ops_i.occluded_brute(scene.geom, org, dirn, tnear, tfar,
+                                       time=time)
     elif _use_packet(scene, org):
         from ..ops import pallas_traverse as ppt
         from ..ops import pallas_dense as ppd
@@ -144,11 +156,11 @@ def _occluded(scene, org, dirn, tnear, tfar, tri_axis=None, time=None,
             occ = ppt.occluded_packet_sorted(
                 scene.packet['nodes'], scene.packet['tris'], org, dirn,
                 tnear, tfar, scene.bbox_lo, scene.bbox_hi,
-                max_leaf=scene.leaf_size)
+                max_leaf=scene.leaf_size, hbm=scene.packet_hbm)
         else:
             occ = ppt.occluded_packet(
                 scene.packet['nodes'], scene.packet['tris'], org, dirn,
-                tnear, tfar, max_leaf=scene.leaf_size)
+                tnear, tfar, max_leaf=scene.leaf_size, hbm=scene.packet_hbm)
     elif scene.bvh is not None:
         occ = ops_t.occluded_bvh(scene.geom, scene.bvh, org, dirn,
                                  tnear, tfar, leaf_size=scene.leaf_size)

@@ -79,34 +79,68 @@ def pack_nodes(bvh) -> np.ndarray:
         a[:, None], tag[:, None]], axis=1)
 
 
-def pack_tris(woop: np.ndarray, geom_host: dict) -> np.ndarray:
+def pack_tris(woop: np.ndarray, geom_host: dict,
+              pad_rows: int = 17) -> np.ndarray:
     """(G, 128) f32: 8 triangles per row, 16 floats each
     [woop.T flattened (12) | ng (3) | cull].  Zero padding rows are inert
-    (woop zeros give d'_z == 0, which never passes the hit test)."""
+    (woop zeros give d'_z == 0, which never passes the hit test).
+    pad_rows extra zero rows let the HBM-streaming kernel DMA a
+    static-size window past the last leaf (17 covers max_leaf <= 128)."""
     t = woop.shape[1] // 3
     w = np.asarray(woop, np.float32).reshape(4, t, 3)
     w = np.transpose(w, (1, 0, 2)).reshape(t, 12)
     flat = np.concatenate([
         w, np.asarray(geom_host['ng'], np.float32),
         np.asarray(geom_host['cull'], np.float32)[:, None]], axis=1)
-    g = (t + 7) // 8
+    g = (t + 7) // 8 + pad_rows
     out = np.zeros((g * 8, 16), np.float32)
     out[:t] = flat
     return out.reshape(g, 128)
 
 
-def _leaf_groups(tris_ref, a, count, max_leaf, tri_test, carry):
+def _max_groups(max_leaf: int) -> int:
+    return (max_leaf + 7) // 8 + 1
+
+
+def _hbm_window(max_leaf: int) -> int:
+    """HBM DMA window rows: the leaf window aligned down to the (8, 128)
+    tile grid plus up to 7 rows of in-tile offset, rounded up to whole
+    tiles (TPU DMA sources must start on tile boundaries)."""
+    return ((_max_groups(max_leaf) + 7 + 7) // 8) * 8
+
+
+def _leaf_groups(tris_ref, a, count, max_leaf, tri_test, carry,
+                 tri_scratch=None, dma_sem=None):
     """Run tri_test on every 8-triangle packed row overlapping the leaf
     range [a, a+count).  Boundary rows test a few extra triangles, which
     is sound — every packed triangle is real scene geometry (padding rows
-    can never pass the hit test)."""
+    can never pass the hit test).
+
+    With tri_scratch/dma_sem set, tris_ref lives in HBM (scenes beyond
+    VMEM — Embree keeps BVHs DRAM-resident, api/scene_flat.h): the leaf
+    window is DMA'd into the VMEM scratch first.  pack_tris pads the
+    array so the static-size window never reads past the end."""
     g_first = a // 8
     g_count = (a + count + 7) // 8 - g_first
-    max_groups = (max_leaf + 7) // 8 + 1
+    max_groups = _max_groups(max_leaf)
+
+    if tri_scratch is not None:
+        # align the window start to the (8, 128) tile grid — DMA with a
+        # non-tile-aligned dynamic sublane offset faults the DMA engine
+        g_base = (g_first // 8) * 8
+        g_off = g_first - g_base
+        cp = pltpu.make_async_copy(
+            tris_ref.at[pl.ds(g_base, _hbm_window(max_leaf))],
+            tri_scratch, dma_sem)
+        cp.start()
+        cp.wait()
 
     def group(g, carry):
         def do(carry2):
-            row = tris_ref[g_first + g]            # (128,) = 8 tris
+            if tri_scratch is not None:
+                row = tri_scratch[g_off + g]       # (128,) = 8 tris
+            else:
+                row = tris_ref[g_first + g]
             for k in range(8):                     # static unroll
                 carry2 = tri_test(row[16 * k:16 * (k + 1)],
                                   (g_first + g) * 8 + k, carry2)
@@ -120,7 +154,8 @@ def _kernel(nodes_ref, tris_ref,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             tn_ref, tf_ref,
             t_out, tri_out, u_out, v_out,
-            stack_ref, stackt_ref, max_leaf: int):
+            stack_ref, stackt_ref, tri_scratch, dma_sem,
+            max_leaf: int, hbm: bool):
     ox = ox_ref[:]
     oy = oy_ref[:]
     oz = oz_ref[:]
@@ -212,7 +247,9 @@ def _kernel(nodes_ref, tris_ref,
 
                 t_b, tri_b, u_b, v_b = _leaf_groups(
                     tris_ref, a, tag, max_leaf, tri_test,
-                    (t_b, tri_b, u_b, v_b))
+                    (t_b, tri_b, u_b, v_b),
+                    tri_scratch if hbm else None,
+                    dma_sem if hbm else None)
                 # pop-cull bound: the packet's farthest effective t
                 t_am = jnp.max(jnp.minimum(t_b, tfar0))
                 return t_b, tri_b, u_b, v_b, t_am
@@ -291,24 +328,27 @@ def _vec_spec():
     return pl.BlockSpec((BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM)
 
 
-@partial(jax.jit, static_argnames=('max_leaf', 'interpret'))
+@partial(jax.jit, static_argnames=('max_leaf', 'interpret', 'hbm'))
 def intersect_packet(nodes, tris, org, dirn, tnear, tfar,
-                     max_leaf: int = 64, interpret: bool = False) -> Hit:
+                     max_leaf: int = 64, interpret: bool = False,
+                     hbm: bool = False) -> Hit:
     """Closest-hit packet traversal.
 
     nodes: (N, 8) f32 (pack_nodes); tris: (G, 128) f32 (pack_tris);
-    org/dirn: (R, 3) with R a multiple of BLOCK.
+    org/dirn: (R, 3) with R a multiple of BLOCK.  hbm=True keeps the
+    triangle rows in HBM and DMA-streams leaf windows (scenes > VMEM).
     """
     r = org.shape[0]
     assert r % BLOCK == 0, f"ray count must be a multiple of {BLOCK}"
     grid = (r // BLOCK,)
+    tri_space = pltpu.ANY if hbm else pltpu.VMEM
 
     t, tri, u, v = pl.pallas_call(
-        partial(_kernel, max_leaf=max_leaf),
+        partial(_kernel, max_leaf=max_leaf, hbm=hbm),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # nodes (scalar mem)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # tris (full)
+            pl.BlockSpec(memory_space=tri_space),    # tris (full)
             _vec_spec(), _vec_spec(), _vec_spec(),   # org xyz
             _vec_spec(), _vec_spec(), _vec_spec(),   # dir xyz
             _vec_spec(), _vec_spec(),                # tnear, tfar
@@ -321,7 +361,10 @@ def intersect_packet(nodes, tris, org, dirn, tnear, tfar,
             jax.ShapeDtypeStruct((r,), jnp.float32),
         ],
         scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32),
-                        pltpu.SMEM((STACK,), jnp.float32)],
+                        pltpu.SMEM((STACK,), jnp.float32),
+                        pltpu.VMEM((_hbm_window(max_leaf), 128),
+                                   jnp.float32),
+                        pltpu.SemaphoreType.DMA(())],
         interpret=interpret,
     )(nodes.reshape(-1), tris,
       org[:, 0], org[:, 1], org[:, 2],
@@ -370,14 +413,16 @@ def _sorted_call(fn, n_outs, org, dirn, tnear, tfar, bbox_lo, bbox_hi):
 
 
 @partial(jax.jit, static_argnames=('bbox_lo', 'bbox_hi', 'max_leaf',
-                                   'interpret'))
+                                   'interpret', 'hbm'))
 def intersect_packet_sorted(nodes, tris, org, dirn, tnear, tfar,
                             bbox_lo, bbox_hi, max_leaf: int = 64,
-                            interpret: bool = False) -> Hit:
+                            interpret: bool = False,
+                            hbm: bool = False) -> Hit:
     """Closest-hit with wavefront ray binning (see _ray_sort_key)."""
     def run(o, d, tn, tf):
         h = intersect_packet(nodes, tris, o, d, tn, tf,
-                             max_leaf=max_leaf, interpret=interpret)
+                             max_leaf=max_leaf, interpret=interpret,
+                             hbm=hbm)
         return (h.t, h.tri, h.u, h.v)
 
     t, tri, u, v = _sorted_call(run, 4, org, dirn, tnear, tfar,
@@ -386,14 +431,15 @@ def intersect_packet_sorted(nodes, tris, org, dirn, tnear, tfar,
 
 
 @partial(jax.jit, static_argnames=('bbox_lo', 'bbox_hi', 'max_leaf',
-                                   'interpret'))
+                                   'interpret', 'hbm'))
 def occluded_packet_sorted(nodes, tris, org, dirn, tnear, tfar,
                            bbox_lo, bbox_hi, max_leaf: int = 64,
-                           interpret: bool = False):
+                           interpret: bool = False, hbm: bool = False):
     """Any-hit with wavefront ray binning (see _ray_sort_key)."""
     def run(o, d, tn, tf):
         return occluded_packet(nodes, tris, o, d, tn, tf,
-                               max_leaf=max_leaf, interpret=interpret)
+                               max_leaf=max_leaf, interpret=interpret,
+                               hbm=hbm)
 
     return _sorted_call(run, 1, org, dirn, tnear, tfar, bbox_lo, bbox_hi)
 
@@ -401,7 +447,8 @@ def occluded_packet_sorted(nodes, tris, org, dirn, tnear, tfar,
 def _kernel_any(nodes_ref, tris_ref,
                 ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                 tn_ref, tf_ref, occ_out,
-                stack_ref, max_leaf: int):
+                stack_ref, tri_scratch, dma_sem,
+                max_leaf: int, hbm: bool):
     """Any-hit: unordered traversal pruned against the not-yet-occluded
     mask, terminating as soon as the whole packet is occluded.  occ is
     carried as i32 (Mosaic can't carry i1 vectors through scf loops)."""
@@ -474,7 +521,9 @@ def _kernel_any(nodes_ref, tris_ref,
                        & (th > tnear) & (th < tfar) & cull_ok)
                 return jnp.maximum(occ, hit.astype(jnp.int32))
 
-            occ = _leaf_groups(tris_ref, a, tag, max_leaf, tri_test, occ)
+            occ = _leaf_groups(tris_ref, a, tag, max_leaf, tri_test, occ,
+                               tri_scratch if hbm else None,
+                               dma_sem if hbm else None)
             # early exit once the whole packet is occluded (rtcOccluded's
             # first-hit semantics, amortized over the packet)
             return occ, jnp.all(occ > 0)
@@ -509,29 +558,325 @@ def _kernel_any(nodes_ref, tris_ref,
     occ_out[:] = occ
 
 
-@partial(jax.jit, static_argnames=('max_leaf', 'interpret'))
+@partial(jax.jit, static_argnames=('max_leaf', 'interpret', 'hbm'))
 def occluded_packet(nodes, tris, org, dirn, tnear, tfar,
-                    max_leaf: int = 64, interpret: bool = False):
+                    max_leaf: int = 64, interpret: bool = False,
+                    hbm: bool = False):
     """Any-hit packet traversal (early-exit shadow kernel)."""
     r = org.shape[0]
     assert r % BLOCK == 0, f"ray count must be a multiple of {BLOCK}"
     grid = (r // BLOCK,)
+    tri_space = pltpu.ANY if hbm else pltpu.VMEM
 
     occ = pl.pallas_call(
-        partial(_kernel_any, max_leaf=max_leaf),
+        partial(_kernel_any, max_leaf=max_leaf, hbm=hbm),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # nodes (scalar mem)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # tris (full)
+            pl.BlockSpec(memory_space=tri_space),    # tris (full)
             _vec_spec(), _vec_spec(), _vec_spec(),
             _vec_spec(), _vec_spec(), _vec_spec(),
             _vec_spec(), _vec_spec(),
         ],
         out_specs=_vec_spec(),
         out_shape=jax.ShapeDtypeStruct((r,), jnp.int32),
-        scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32),
+                        pltpu.VMEM((_hbm_window(max_leaf), 128),
+                                   jnp.float32),
+                        pltpu.SemaphoreType.DMA(())],
         interpret=interpret,
     )(nodes.reshape(-1), tris,
       org[:, 0], org[:, 1], org[:, 2],
       dirn[:, 0], dirn[:, 1], dirn[:, 2], tnear, tfar)
     return occ != 0
+
+
+# ---------------------------------------------------------------------------
+# Motion blur (bvh4mb analog): a static BVH built over the UNION of each
+# triangle's t=0 and t=1 bounds (exact for the linear vertex motion of
+# trianglemesh_full.cpp:29-33), with a time-aware Moller-Trumbore leaf
+# test — v(t) = v + t*dv evaluated per ray.  The reference renders these
+# scenes with Embree's -accel bvh4mb (models/sphere_motion.ecs).
+# ---------------------------------------------------------------------------
+
+MB_STRIDE = 32           # floats per motion triangle (4 per 128-lane row)
+
+
+def pack_tris_mb(geom_host: dict) -> np.ndarray:
+    """(G, 128) f32: 4 motion triangles per row, 32 floats each
+    [v0(3) e1(3) e2(3) mv0(3) me1(3) me2(3) cull | pad].  Zero padding
+    rows are inert (zero edges give det == 0)."""
+    v0 = np.asarray(geom_host['v0'], np.float32)
+    t = v0.shape[0]
+    flat = np.zeros((t, MB_STRIDE), np.float32)
+    flat[:, 0:3] = v0
+    flat[:, 3:6] = geom_host['e1']
+    flat[:, 6:9] = geom_host['e2']
+    flat[:, 9:12] = geom_host['mv0']
+    flat[:, 12:15] = geom_host['me1']
+    flat[:, 15:18] = geom_host['me2']
+    flat[:, 18] = geom_host['cull']
+    flat[~np.asarray(geom_host['valid'], bool)] = 0.0
+    g = (t + 3) // 4
+    out = np.zeros((g * 4, MB_STRIDE), np.float32)
+    out[:t] = flat
+    return out.reshape(g, 128)
+
+
+def motion_bounds(v0, e1, e2, mv0, me1, me2):
+    """Per-triangle union bounds over t in [0, 1] (linear motion: the
+    union of the t=0 and t=1 triangle boxes is exact)."""
+    cs = [v0, v0 + e1, v0 + e2]
+    cs += [c + m for c, m in zip(cs, (mv0, mv0 + me1, mv0 + me2))]
+    lo = np.min(np.stack(cs), axis=0)
+    hi = np.max(np.stack(cs), axis=0)
+    return lo.astype(np.float64), hi.astype(np.float64)
+
+
+def _mb_leaf_groups(tris_ref, a, count, max_leaf, tri_test, carry):
+    """4-triangle packed rows (MB_STRIDE floats each)."""
+    g_first = a // 4
+    g_count = (a + count + 3) // 4 - g_first
+    max_groups = (max_leaf + 3) // 4 + 1
+
+    def group(g, carry):
+        def do(carry2):
+            row = tris_ref[g_first + g]            # (128,) = 4 tris
+            for k in range(4):                     # static unroll
+                carry2 = tri_test(row[MB_STRIDE * k:MB_STRIDE * (k + 1)],
+                                  (g_first + g) * 4 + k, carry2)
+            return carry2
+        return jax.lax.cond(g < g_count, do, lambda c: c, carry)
+
+    return jax.lax.fori_loop(0, max_groups, group, carry)
+
+
+def _mb_tri_test(w, time, ox, oy, oz, dx, dy, dz):
+    """Time-aware Moller-Trumbore of one motion triangle against the
+    packet.  Returns (ok, th, uh, vh) (each (BLOCK,))."""
+    e1x = w[3] + time * w[12]
+    e1y = w[4] + time * w[13]
+    e1z = w[5] + time * w[14]
+    e2x = w[6] + time * w[15]
+    e2y = w[7] + time * w[16]
+    e2z = w[8] + time * w[17]
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    # cull: reject back faces (ng . d >= 0) for cull-enabled triangles
+    ngx = e1y * e2z - e1z * e2y
+    ngy = e1z * e2x - e1x * e2z
+    ngz = e1x * e2y - e1y * e2x
+    ngd = dx * ngx + dy * ngy + dz * ngz
+    cull_ok = (w[18] != 1.0) | (ngd < 0.0)
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    tvx = ox - (w[0] + time * w[9])
+    tvy = oy - (w[1] + time * w[10])
+    tvz = oz - (w[2] + time * w[11])
+    uh = (tvx * px + tvy * py + tvz * pz) * inv_det
+    qx = tvy * e1z - tvz * e1y
+    qy = tvz * e1x - tvx * e1z
+    qz = tvx * e1y - tvy * e1x
+    vh = (dx * qx + dy * qy + dz * qz) * inv_det
+    th = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    ok = ((jnp.abs(det) > 1e-12)
+          & (uh >= 0.0) & (vh >= 0.0) & (uh + vh <= 1.0)
+          & cull_ok)
+    return ok, th, uh, vh
+
+
+def _kernel_mb(nodes_ref, tris_ref,
+               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+               tn_ref, tf_ref, time_ref,
+               t_out, tri_out, u_out, v_out,
+               stack_ref, stackt_ref, max_leaf: int):
+    """Closest-hit motion variant of _kernel (same ordered children-on-pop
+    traversal; union-bounds nodes are valid for every t)."""
+    ox = ox_ref[:]
+    oy = oy_ref[:]
+    oz = oz_ref[:]
+    dx = dx_ref[:]
+    dy = dy_ref[:]
+    dz = dz_ref[:]
+    tnear = tn_ref[:]
+    tfar0 = tf_ref[:]
+    time = time_ref[:]
+
+    def safe_inv(d):
+        return 1.0 / jnp.where(jnp.abs(d) > 1e-30, d,
+                               jnp.where(d >= 0, 1e-30, -1e-30))
+
+    ix = safe_inv(dx)
+    iy = safe_inv(dy)
+    iz = safe_inv(dz)
+    sgn = ((jnp.sum(dx) >= 0.0).astype(jnp.int32),
+           (jnp.sum(dy) >= 0.0).astype(jnp.int32),
+           (jnp.sum(dz) >= 0.0).astype(jnp.int32))
+
+    def slab(n, t_b):
+        b = 8 * n
+        t0x = (nodes_ref[b + 0] - ox) * ix
+        t1x = (nodes_ref[b + 3] - ox) * ix
+        t0y = (nodes_ref[b + 1] - oy) * iy
+        t1y = (nodes_ref[b + 4] - oy) * iy
+        t0z = (nodes_ref[b + 2] - oz) * iz
+        t1z = (nodes_ref[b + 5] - oz) * iz
+        tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                       jnp.minimum(t0y, t1y)),
+                           jnp.maximum(jnp.minimum(t0z, t1z), tnear))
+        tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                       jnp.maximum(t0y, t1y)),
+                           jnp.minimum(jnp.maximum(t0z, t1z),
+                                       jnp.minimum(tfar0, t_b)))
+        return tmin <= tmax, tmin
+
+    stack_ref[0] = 0
+    stackt_ref[0] = 0.0
+
+    def cond(state):
+        return state[0] >= 0
+
+    def body(state):
+        sp, t_best, tri_best, u_best, v_best, t_allmax = state
+        node = stack_ref[sp]
+        tpop = stackt_ref[sp]
+        sp = sp - 1
+
+        def process(carry):
+            sp, t_best, tri_best, u_best, v_best, t_allmax = carry
+            a = nodes_ref[8 * node + 6].astype(jnp.int32)
+            tag = nodes_ref[8 * node + 7].astype(jnp.int32)
+            is_leaf = tag > 0
+
+            def do_leaf(carry2):
+                t_b, tri_b, u_b, v_b, _ = carry2
+
+                def tri_test(w, tri_index, c):
+                    t_b, tri_b, u_b, v_b = c
+                    ok, th, uh, vh = _mb_tri_test(w, time, ox, oy, oz,
+                                                  dx, dy, dz)
+                    ok = ok & (th > tnear) & (th < jnp.minimum(tfar0, t_b))
+                    return (jnp.where(ok, th, t_b),
+                            jnp.where(ok, tri_index, tri_b),
+                            jnp.where(ok, uh, u_b),
+                            jnp.where(ok, vh, v_b))
+
+                t_b, tri_b, u_b, v_b = _mb_leaf_groups(
+                    tris_ref, a, tag, max_leaf, tri_test,
+                    (t_b, tri_b, u_b, v_b))
+                t_am = jnp.max(jnp.minimum(t_b, tfar0))
+                return t_b, tri_b, u_b, v_b, t_am
+
+            def do_interior(carry2):
+                t_b = carry2[0]
+                hit_l, tmin_l = slab(node + 1, t_b)
+                hit_r, tmin_r = slab(a, t_b)
+                any_l = jnp.any(hit_l)
+                any_r = jnp.any(hit_r)
+                m_l = jnp.min(jnp.where(hit_l, tmin_l, INF))
+                m_r = jnp.min(jnp.where(hit_r, tmin_r, INF))
+                axis = -tag - 1
+                left_near = jnp.where(
+                    axis == 0, sgn[0],
+                    jnp.where(axis == 1, sgn[1], sgn[2])) != 0
+                return any_l, any_r, m_l, m_r, left_near
+
+            def skip_interior(carry2):
+                f = jnp.bool_(False)
+                z = jnp.float32(0.0)
+                return f, f, z, z, f
+
+            leaf_out = jax.lax.cond(
+                is_leaf, do_leaf, lambda c: c,
+                (t_best, tri_best, u_best, v_best, t_allmax))
+            any_l, any_r, m_l, m_r, left_near = jax.lax.cond(
+                is_leaf, skip_interior, do_interior,
+                (t_best, tri_best, u_best, v_best, t_allmax))
+            t_best, tri_best, u_best, v_best, t_allmax = leaf_out
+
+            near_idx = jnp.where(left_near, node + 1, a)
+            far_idx = jnp.where(left_near, a, node + 1)
+            near_m = jnp.where(left_near, m_l, m_r)
+            far_m = jnp.where(left_near, m_r, m_l)
+            near_any = jnp.where(left_near, any_l, any_r)
+            far_any = jnp.where(left_near, any_r, any_l)
+
+            sp1 = sp + far_any.astype(jnp.int32)
+
+            @pl.when(far_any)
+            def _():
+                stack_ref[sp1] = far_idx
+                stackt_ref[sp1] = far_m
+
+            sp2 = sp1 + near_any.astype(jnp.int32)
+
+            @pl.when(near_any)
+            def _():
+                stack_ref[sp2] = near_idx
+                stackt_ref[sp2] = near_m
+
+            return sp2, t_best, tri_best, u_best, v_best, t_allmax
+
+        live = tpop <= t_allmax
+        return jax.lax.cond(
+            live, process, lambda c: c,
+            (sp, t_best, tri_best, u_best, v_best, t_allmax))
+
+    init = (jnp.int32(0), jnp.full((BLOCK,), INF),
+            jnp.full((BLOCK,), -1, jnp.int32),
+            jnp.zeros((BLOCK,)), jnp.zeros((BLOCK,)), jnp.float32(INF))
+    out = jax.lax.while_loop(cond, body, init)
+    _, t_best, tri_best, u_best, v_best, _ = out
+    t_out[:] = t_best
+    tri_out[:] = tri_best
+    u_out[:] = u_best
+    v_out[:] = v_best
+
+
+@partial(jax.jit, static_argnames=('max_leaf', 'interpret'))
+def intersect_packet_mb(nodes, tris_mb, org, dirn, tnear, tfar, time,
+                        max_leaf: int = 64, interpret: bool = False) -> Hit:
+    """Closest-hit packet traversal with linear motion blur.
+
+    nodes must be built over motion_bounds; tris_mb from pack_tris_mb;
+    time: (R,) in [0, 1].
+    """
+    r = org.shape[0]
+    assert r % BLOCK == 0, f"ray count must be a multiple of {BLOCK}"
+    grid = (r // BLOCK,)
+
+    t, tri, u, v = pl.pallas_call(
+        partial(_kernel_mb, max_leaf=max_leaf),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # nodes
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # motion tris
+            _vec_spec(), _vec_spec(), _vec_spec(),
+            _vec_spec(), _vec_spec(), _vec_spec(),
+            _vec_spec(), _vec_spec(), _vec_spec(),   # tnear, tfar, time
+        ],
+        out_specs=[_vec_spec(), _vec_spec(), _vec_spec(), _vec_spec()],
+        out_shape=[
+            jax.ShapeDtypeStruct((r,), jnp.float32),
+            jax.ShapeDtypeStruct((r,), jnp.int32),
+            jax.ShapeDtypeStruct((r,), jnp.float32),
+            jax.ShapeDtypeStruct((r,), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32),
+                        pltpu.SMEM((STACK,), jnp.float32)],
+        interpret=interpret,
+    )(nodes.reshape(-1), tris_mb,
+      org[:, 0], org[:, 1], org[:, 2],
+      dirn[:, 0], dirn[:, 1], dirn[:, 2], tnear, tfar, time)
+    return Hit(t, tri, u, v)
+
+
+def occluded_packet_mb(nodes, tris_mb, org, dirn, tnear, tfar, time,
+                       max_leaf: int = 64, interpret: bool = False):
+    """Any-hit motion traversal (closest-hit + finiteness; motion scenes
+    are small enough that a dedicated early-exit variant is not worth a
+    second kernel compile)."""
+    hit = intersect_packet_mb(nodes, tris_mb, org, dirn, tnear, tfar,
+                              time, max_leaf=max_leaf, interpret=interpret)
+    return hit.tri >= 0

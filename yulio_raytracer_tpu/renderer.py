@@ -128,11 +128,25 @@ def render_frame(scene, camera, params, width: int, height: int, spp: int,
         film = accum.create(height, width)
     npix = width * height
     if max_rays_per_pass is None:
-        t_block = min(max(scene.num_triangles, 1),
-                      scene.leaf_size if scene.bvh is not None else 2048)
-        # ~0.75 GB of f32 intermediates per (rays x block) temp set
-        max_rays_per_pass = int(min(1 << 21, max(1 << 14,
-                                                 (3 << 26) // t_block)))
+        if scene.bvh is not None:
+            # packet-traversal path: bound single-dispatch device time.
+            # Long scenes x deep paths x folded spp in ONE dispatch can
+            # run for minutes, and the TPU runtime's execution watchdog
+            # kills executions past ~1-2 min (observed on v5e: a 1536^2
+            # spp-4-folded depth-10 dispatch crashes the worker; the
+            # same work split into per-sample passes completes).
+            max_rays_per_pass = max(1 << 18,
+                                    (1 << 22) // max(params.max_depth, 1))
+            # MUST stay a multiple of the Pallas packet BLOCK (1024):
+            # a non-multiple silently falls back to the XLA gather path,
+            # whose one dispatch runs minutes and trips the watchdog
+            max_rays_per_pass = (max_rays_per_pass + 1023) // 1024 * 1024
+            spp_per_pass_cap = 1
+        else:
+            t_block = min(max(scene.num_triangles, 1), 2048)
+            # ~0.75 GB of f32 intermediates per (rays x block) temp set
+            max_rays_per_pass = int(min(1 << 21, max(1 << 14,
+                                                     (3 << 26) // t_block)))
 
     # split the frame into pixel ranges; each pass renders as many samples
     # per pixel as the ray budget allows, fully on-device
@@ -168,6 +182,13 @@ def render_frame(scene, camera, params, width: int, height: int, spp: int,
                                    pixel_filter=pixel_filter)
         # scatter back by pixel id (rays run in tiled order)
         rgb_flat = rgb_flat.at[pixel_ids[:count]].add(rgb[:count])
+        # bound the queued device stream: minute-long uninterrupted
+        # streams crash the TPU runtime's watchdog (observed on v5e).
+        # BVH-path passes run seconds each -> sync every pass (the sync
+        # round-trip is ~0.1 s on a tunneled device, negligible there);
+        # dense-path passes are short -> sync every 8th.
+        if scene.bvh is not None or (wi % 8) == 7:
+            jax.block_until_ready(rgb_flat)
         total_rays += float(nrays)
         if progress_cb is not None:
             progress_cb((wi + 1) / len(work))

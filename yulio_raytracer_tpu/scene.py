@@ -11,6 +11,16 @@ immutable pytree (`TpuScene`) holding:
   intersect faster brute-force on TPU, see ops/intersect.py),
 * the material lobe table + texture atlas,
 * the static light list (ambient lights get the scene bsphere here).
+
+Two-level instancing (api/scene_instancing.h + api/instance.h): NOT
+implemented, by decision.  The reference itself ships it disabled — the
+"twolevel" backend is commented out at singleray_device.cpp:341 and every
+scene goes through BackendSceneFlat ("no support for instancing, best
+render performance", scene_flat.h:25).  Loader-level instancing (the only
+kind the front-ends emit) is covered: every rtTransformPrimitive /
+re-instanced <ref> bakes its transform into vertices here, which is also
+the TPU-optimal layout (one flat SoA table; a traversal-time transform
+per instance would add per-ray matrix gathers to the hot kernel).
 """
 from __future__ import annotations
 
@@ -30,6 +40,12 @@ from .lights import lights as glights
 
 # below this triangle count, brute-force beats traversal on TPU
 BRUTE_FORCE_MAX_TRIS = 16384
+# packed triangle rows beyond this stay HBM-resident and the packet
+# kernels DMA leaf windows (VMEM is ~16 MB and the kernel needs room for
+# ray blocks; Embree likewise keeps big BVHs DRAM-resident)
+TRIS_VMEM_LIMIT_BYTES = int(12.5 * (1 << 20))
+# the flat BVH lives in SMEM (1 MB); keep a safety margin for the stacks
+MAX_SMEM_NODES = 28000
 
 
 @dataclass
@@ -90,30 +106,51 @@ class SceneBuilder:
         packed = gmesh.pack_meshes(meshes)
         n_tris = packed.num_triangles
         has_motion = packed.mv0 is not None
-        # motion scenes go through the time-aware dense intersector (the
-        # static BVH bounds don't cover moving geometry; the reference
-        # used Embree's bvh4mb there)
-        use_bvh = (False if has_motion
-                   else (force_bvh if force_bvh is not None
-                         else n_tris > BRUTE_FORCE_MAX_TRIS))
+        use_bvh = (force_bvh if force_bvh is not None
+                   else n_tris > BRUTE_FORCE_MAX_TRIS)
 
         host = {k: getattr(packed, k) for k in gbvh._PER_TRIANGLE_KEYS
                 if getattr(packed, k) is not None}
         bvh_dev = None
         packet = None
+        packet_hbm = False
         if use_bvh:
+            # motion scenes: union-of-endpoint bounds (the bvh4mb analog,
+            # exact for the linear motion of trianglemesh_full.cpp:29-33)
+            from .ops import pallas_traverse as _ppt
+            mb_bounds = (_ppt.motion_bounds(
+                packed.v0, packed.e1, packed.e2, packed.mv0, packed.me1,
+                packed.me2) if has_motion else None)
             tree = gbvh.build(packed.v0, packed.e1, packed.e2, packed.valid,
-                              leaf_size=leaf_size)
+                              leaf_size=leaf_size, bounds=mb_bounds)
+            # the packet kernel keeps the flat BVH in SMEM (1 MB): grow
+            # leaves until the node table fits (big scenes stream their
+            # triangles from HBM anyway, so fat leaves cost little)
+            while tree.num_nodes > MAX_SMEM_NODES and leaf_size < 128:
+                leaf_size = min(leaf_size * 2, 128)
+                tree = gbvh.build(packed.v0, packed.e1, packed.e2,
+                                  packed.valid, leaf_size=leaf_size,
+                                  bounds=mb_bounds)
             host = gbvh.permute_geom(host, tree.order)
             bvh_dev = gbvh.to_device(tree)
         host['woop'] = gmesh.woop_matrices(host['v0'], host['e1'],
                                            host['e2'], host['valid'])
         from .ops import pallas_traverse as ppt
-        if use_bvh:
-            # packed arrays for the Pallas packet-traversal kernel
+        if use_bvh and has_motion:
+            # motion packet path: union-bounds nodes + 4-per-row motion
+            # triangle records, time-aware MT leaf test
             packet = {
                 'nodes': jnp.asarray(ppt.pack_nodes(tree)),
-                'tris': jnp.asarray(ppt.pack_tris(host['woop'], host)),
+                'tris_mb': jnp.asarray(ppt.pack_tris_mb(host)),
+            }
+        elif use_bvh:
+            # packed arrays for the Pallas packet-traversal kernel
+            tris = ppt.pack_tris(host['woop'], host,
+                                 pad_rows=ppt._hbm_window(leaf_size))
+            packet_hbm = tris.nbytes > TRIS_VMEM_LIMIT_BYTES
+            packet = {
+                'nodes': jnp.asarray(ppt.pack_nodes(tree)),
+                'tris': jnp.asarray(tris),
             }
         elif not has_motion:
             # dense Pallas intersector (no BVH): just the packed tri rows
@@ -139,6 +176,7 @@ class SceneBuilder:
             bbox_hi=tuple(float(x) for x in packed.bbox_hi),
             num_triangles=n_tris,
             packet=packet,
+            packet_hbm=packet_hbm,
             lobe_types=tuple(sorted({lo.type for ms in self.materials
                                      for lo in ms.lobes})),
         )
@@ -176,6 +214,9 @@ class TpuScene:
     bbox_hi: tuple = field(metadata=dict(static=True))
     num_triangles: int = field(metadata=dict(static=True))
     packet: Optional[dict] = None   # Pallas packet-traversal arrays
+    # True when the packed triangle rows exceed the VMEM budget: the
+    # packet kernels then keep them HBM-resident and DMA leaf windows
+    packet_hbm: bool = field(metadata=dict(static=True), default=False)
     # static set of lobe type ids used by any material — lets the shader
     # compile away unused BSDF families (shading/lobes.py sample_lobes)
     lobe_types: Optional[tuple] = field(metadata=dict(static=True),
