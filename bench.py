@@ -72,10 +72,48 @@ def bench_colonnade():
     scene = builtin_scenes.colonnade().commit(leaf_size=32)
     camera = builtin_scenes.colonnade_camera(1024, 1024)
     params = pt.PTParams(max_depth=4)
-    renderer.render_frame(scene, camera, params, 1024, 1024, spp=2, seed=0)
+    # warmup MUST use the same static config (spp is a static jit arg —
+    # the RNG stratification depends on it); a different spp would fold
+    # a recompile into the timed frame
+    renderer.render_frame(scene, camera, params, 1024, 1024, spp=8, seed=0)
     _, stats = renderer.render_frame(scene, camera, params, 1024, 1024,
                                      spp=8, seed=1)
     return "colonnade_1024_mrps", stats
+
+
+def bench_colonnade_traversal():
+    """Coherent packet-traversal throughput: one full-frame closest-hit
+    pass at 1024^2 over the Sponza-scale scene (tiled ray order) — the
+    rtcIntersect-equivalent Embree number."""
+    import time
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from yulio_raytracer_tpu.io import builtin_scenes
+    from yulio_raytracer_tpu.ops import pallas_traverse as ppt
+    from yulio_raytracer_tpu import renderer as _r
+    from yulio_raytracer_tpu.renderer import FrameStats
+
+    scene = builtin_scenes.colonnade().commit(leaf_size=32)
+    w = h = 1024
+    camera = builtin_scenes.colonnade_camera(w, h)
+    order = _r._tile_order(w, h)
+    n = w * h
+    px = jnp.asarray((order % w).astype(np.float32))
+    py = jnp.asarray((order // w).astype(np.float32))
+    uv = jnp.stack([(px + 0.5) / w, (py + 0.5) / h], axis=-1)
+    org, dirn = camera.ray(uv, jnp.zeros((n, 2)))
+    tn = jnp.zeros((n,))
+    tf = jnp.full((n,), jnp.inf)
+    args = (scene.packet['nodes'], scene.packet['tris'], org, dirn, tn, tf)
+    kw = dict(max_leaf=scene.leaf_size, hbm=scene.packet_hbm)
+    jax.block_until_ready(ppt.intersect_packet(*args, **kw).t)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        hit = ppt.intersect_packet(*args, **kw)
+    jax.block_until_ready(hit.t)
+    return "colonnade_traversal_mrps", FrameStats(
+        3 * n, time.perf_counter() - t0)
 
 
 def bench_stereo_face():
@@ -86,7 +124,8 @@ def bench_stereo_face():
     scene = builtin_scenes.colonnade().commit(leaf_size=32)
     camera = builtin_scenes.colonnade_camera(1536, 1536)
     params = pt.PTParams(max_depth=10, t_max_shadow_ray=120.0)
-    renderer.render_frame(scene, camera, params, 1536, 1536, spp=1, seed=0)
+    # same static config for warmup and timed frame (spp is static)
+    renderer.render_frame(scene, camera, params, 1536, 1536, spp=2, seed=0)
     _, stats = renderer.render_frame(scene, camera, params, 1536, 1536,
                                      spp=2, seed=1)
     return "stereo_face_1536_mrps", stats
@@ -100,7 +139,8 @@ def main():
         "unit": "dB",
         "vs_baseline": round(psnr / PSNR_TARGET_DB, 4),
     }), flush=True)
-    for fn in (bench_cornell, bench_stereo_face, bench_colonnade):
+    for fn in (bench_cornell, bench_colonnade_traversal,
+               bench_stereo_face, bench_colonnade):
         metric, stats = fn()
         print(json.dumps({
             "metric": metric,

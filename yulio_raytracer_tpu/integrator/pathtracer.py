@@ -101,10 +101,12 @@ def _intersect(scene, org, dirn, tnear, tfar, time=None,
             return ppt.intersect_packet_sorted(
                 scene.packet['nodes'], scene.packet['tris'], org, dirn,
                 tnear, tfar, scene.bbox_lo, scene.bbox_hi,
-                max_leaf=scene.leaf_size, hbm=scene.packet_hbm)
+                max_leaf=scene.leaf_size, hbm=scene.packet_hbm,
+                use_cull=scene.any_cull)
         return ppt.intersect_packet(
             scene.packet['nodes'], scene.packet['tris'], org, dirn,
-            tnear, tfar, max_leaf=scene.leaf_size, hbm=scene.packet_hbm)
+            tnear, tfar, max_leaf=scene.leaf_size, hbm=scene.packet_hbm,
+            use_cull=scene.any_cull)
     if scene.bvh is not None:
         return ops_t.intersect_bvh(scene.geom, scene.bvh, org, dirn,
                                    tnear, tfar, leaf_size=scene.leaf_size)
@@ -156,11 +158,13 @@ def _occluded(scene, org, dirn, tnear, tfar, tri_axis=None, time=None,
             occ = ppt.occluded_packet_sorted(
                 scene.packet['nodes'], scene.packet['tris'], org, dirn,
                 tnear, tfar, scene.bbox_lo, scene.bbox_hi,
-                max_leaf=scene.leaf_size, hbm=scene.packet_hbm)
+                max_leaf=scene.leaf_size, hbm=scene.packet_hbm,
+                use_cull=scene.any_cull)
         else:
             occ = ppt.occluded_packet(
                 scene.packet['nodes'], scene.packet['tris'], org, dirn,
-                tnear, tfar, max_leaf=scene.leaf_size, hbm=scene.packet_hbm)
+                tnear, tfar, max_leaf=scene.leaf_size,
+                hbm=scene.packet_hbm, use_cull=scene.any_cull)
     elif scene.bvh is not None:
         occ = ops_t.occluded_bvh(scene.geom, scene.bvh, org, dirn,
                                  tnear, tfar, leaf_size=scene.leaf_size)
@@ -274,8 +278,15 @@ def trace(scene, params: PTParams, org, dirn, seed, pixel_id, sample_id,
                               thr * glights.le_area(l, backfacing), 0.0)
 
         # ---- NEE: shadow rays to every light (cpp:117-167) ----
+        # Sampling/shading is unrolled per light (kinds differ), but ALL
+        # lights' occlusion rays are batched into ONE traversal call: one
+        # kernel instance regardless of light count (compile time stays
+        # flat with dozens of lights), one ray sort, and same-light rays
+        # pack into coherent packets.
         use_dl = lb.has_type(lobed, lb.DIFFUSE) & active
         err_eps = dg['error'] * params.epsilon
+        nee = []     # per light: (cand, contrib)
+        wis, tfars = [], []
         for li, l in enumerate(all_lights):
             mask_ok = (jnp.uint32(l['illum_mask'] & 0xFFFFFFFF)
                        & dg['illum_mask'].astype(jnp.uint32)) != 0
@@ -304,14 +315,26 @@ def trace(scene, params: PTParams, org, dirn, seed, pixel_id, sample_id,
                                                   jnp.abs(dot_up)),
                     0.0)
 
-            occ = _occluded(scene, dg['P'], wi, err_eps,
-                            jnp.where(cand, tmax - err_eps, -1.0),
-                            params.tri_axis, time=time,
-                            sort_rays=sort_rays)
-            state['num_rays'] = state['num_rays'] + jnp.sum(cand)
-            lit = cand & ~occ
             contrib = thr * le * brdf / jnp.maximum(pdf, 1e-20)[:, None]
-            L = L + jnp.where(lit[:, None], contrib, 0.0)
+            nee.append((cand, contrib))
+            wis.append(wi)
+            tfars.append(jnp.where(cand, tmax - err_eps, -1.0))
+            state['num_rays'] = state['num_rays'] + jnp.sum(cand)
+
+        if nee:
+            nl = len(nee)
+            occ_all = _occluded(
+                scene,
+                jnp.tile(dg['P'], (nl, 1)),
+                jnp.concatenate(wis, axis=0),
+                jnp.tile(err_eps, (nl,)),
+                jnp.concatenate(tfars, axis=0),
+                params.tri_axis, time=(None if time is None
+                                       else jnp.tile(time, (nl,))),
+                sort_rays=sort_rays)
+            for li, (cand, contrib) in enumerate(nee):
+                lit = cand & ~occ_all[li * r:(li + 1) * r]
+                L = L + jnp.where(lit[:, None], contrib, 0.0)
 
         # ---- depth cut (cpp:169-170) ----
         cont = active & (depth < params.max_depth - 1)

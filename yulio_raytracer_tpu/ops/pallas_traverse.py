@@ -155,7 +155,7 @@ def _kernel(nodes_ref, tris_ref,
             tn_ref, tf_ref,
             t_out, tri_out, u_out, v_out,
             stack_ref, stackt_ref, tri_scratch, dma_sem,
-            max_leaf: int, hbm: bool):
+            max_leaf: int, hbm: bool, use_cull: bool):
     ox = ox_ref[:]
     oy = oy_ref[:]
     oz = oz_ref[:]
@@ -195,8 +195,7 @@ def _kernel(nodes_ref, tris_ref,
                            jnp.maximum(jnp.minimum(t0z, t1z), tnear))
         tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
                                        jnp.maximum(t0y, t1y)),
-                           jnp.minimum(jnp.maximum(t0z, t1z),
-                                       jnp.minimum(tfar0, t_b)))
+                           jnp.minimum(jnp.maximum(t0z, t1z), t_b))
         return tmin <= tmax, tmin
 
     stack_ref[0] = 0        # push root (tested lazily on pop)
@@ -232,14 +231,14 @@ def _kernel(nodes_ref, tris_ref,
                     th = -owp * inv_dw
                     uh = oup + th * dup
                     vh = ovp + th * dvp
-                    ngd = dx * w[12] + dy * w[13] + dz * w[14]
-                    # scalar-predicate boolean select doesn't legalize in
-                    # Mosaic — use boolean algebra
-                    cull_ok = (w[15] != 1.0) | (ngd < 0.0)
                     ok = ((jnp.abs(dwp) > 1e-12)
                           & (uh >= 0.0) & (vh >= 0.0) & (uh + vh <= 1.0)
-                          & (th > tnear) & (th < jnp.minimum(tfar0, t_b))
-                          & cull_ok)
+                          & (th > tnear) & (th < t_b))
+                    if use_cull:
+                        # scalar-predicate boolean select doesn't legalize
+                        # in Mosaic — use boolean algebra
+                        ngd = dx * w[12] + dy * w[13] + dz * w[14]
+                        ok = ok & ((w[15] != 1.0) | (ngd < 0.0))
                     return (jnp.where(ok, th, t_b),
                             jnp.where(ok, tri_index, tri_b),
                             jnp.where(ok, uh, u_b),
@@ -251,7 +250,8 @@ def _kernel(nodes_ref, tris_ref,
                     tri_scratch if hbm else None,
                     dma_sem if hbm else None)
                 # pop-cull bound: the packet's farthest effective t
-                t_am = jnp.max(jnp.minimum(t_b, tfar0))
+                # (t_b starts at tfar0, so it is already capped)
+                t_am = jnp.max(t_b)
                 return t_b, tri_b, u_b, v_b, t_am
 
             def do_interior(carry2):
@@ -313,12 +313,16 @@ def _kernel(nodes_ref, tris_ref,
             live, process, lambda c: c,
             (sp, t_best, tri_best, u_best, v_best, t_allmax))
 
-    init = (jnp.int32(0), jnp.full((BLOCK,), INF),
+    # t_best starts at tfar0 (not INF): every per-triangle and per-slab
+    # min(tfar0, t_best) collapses to t_best.  Misses are detected via
+    # tri == -1 (Hit.valid), never via t.
+    init = (jnp.int32(0), tfar0,
             jnp.full((BLOCK,), -1, jnp.int32),
             jnp.zeros((BLOCK,)), jnp.zeros((BLOCK,)), jnp.float32(INF))
     out = jax.lax.while_loop(cond, body, init)
     _, t_best, tri_best, u_best, v_best, _ = out
-    t_out[:] = t_best
+    # report INF for misses (round-1 kernel contract; tests key on it)
+    t_out[:] = jnp.where(tri_best >= 0, t_best, INF)
     tri_out[:] = tri_best
     u_out[:] = u_best
     v_out[:] = v_best
@@ -328,10 +332,11 @@ def _vec_spec():
     return pl.BlockSpec((BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM)
 
 
-@partial(jax.jit, static_argnames=('max_leaf', 'interpret', 'hbm'))
+@partial(jax.jit, static_argnames=('max_leaf', 'interpret', 'hbm',
+                                   'use_cull'))
 def intersect_packet(nodes, tris, org, dirn, tnear, tfar,
                      max_leaf: int = 64, interpret: bool = False,
-                     hbm: bool = False) -> Hit:
+                     hbm: bool = False, use_cull: bool = True) -> Hit:
     """Closest-hit packet traversal.
 
     nodes: (N, 8) f32 (pack_nodes); tris: (G, 128) f32 (pack_tris);
@@ -344,7 +349,7 @@ def intersect_packet(nodes, tris, org, dirn, tnear, tfar,
     tri_space = pltpu.ANY if hbm else pltpu.VMEM
 
     t, tri, u, v = pl.pallas_call(
-        partial(_kernel, max_leaf=max_leaf, hbm=hbm),
+        partial(_kernel, max_leaf=max_leaf, hbm=hbm, use_cull=use_cull),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # nodes (scalar mem)
@@ -407,22 +412,23 @@ def _sorted_call(fn, n_outs, org, dirn, tnear, tfar, bbox_lo, bbox_hi):
     outs = fn(org[perm], dirn[perm], tnear[perm], tfar[perm])
     if n_outs == 1:
         outs = (outs,)
-    inv = jnp.argsort(perm)
-    outs = tuple(o[inv] for o in outs)
+    # unsort by scatter (an inverse-permutation argsort would cost a
+    # second full O(n log n) sort)
+    outs = tuple(jnp.zeros_like(o).at[perm].set(o) for o in outs)
     return outs[0] if n_outs == 1 else outs
 
 
 @partial(jax.jit, static_argnames=('bbox_lo', 'bbox_hi', 'max_leaf',
-                                   'interpret', 'hbm'))
+                                   'interpret', 'hbm', 'use_cull'))
 def intersect_packet_sorted(nodes, tris, org, dirn, tnear, tfar,
                             bbox_lo, bbox_hi, max_leaf: int = 64,
                             interpret: bool = False,
-                            hbm: bool = False) -> Hit:
+                            hbm: bool = False, use_cull: bool = True) -> Hit:
     """Closest-hit with wavefront ray binning (see _ray_sort_key)."""
     def run(o, d, tn, tf):
         h = intersect_packet(nodes, tris, o, d, tn, tf,
                              max_leaf=max_leaf, interpret=interpret,
-                             hbm=hbm)
+                             hbm=hbm, use_cull=use_cull)
         return (h.t, h.tri, h.u, h.v)
 
     t, tri, u, v = _sorted_call(run, 4, org, dirn, tnear, tfar,
@@ -431,15 +437,16 @@ def intersect_packet_sorted(nodes, tris, org, dirn, tnear, tfar,
 
 
 @partial(jax.jit, static_argnames=('bbox_lo', 'bbox_hi', 'max_leaf',
-                                   'interpret', 'hbm'))
+                                   'interpret', 'hbm', 'use_cull'))
 def occluded_packet_sorted(nodes, tris, org, dirn, tnear, tfar,
                            bbox_lo, bbox_hi, max_leaf: int = 64,
-                           interpret: bool = False, hbm: bool = False):
+                           interpret: bool = False, hbm: bool = False,
+                           use_cull: bool = True):
     """Any-hit with wavefront ray binning (see _ray_sort_key)."""
     def run(o, d, tn, tf):
         return occluded_packet(nodes, tris, o, d, tn, tf,
                                max_leaf=max_leaf, interpret=interpret,
-                               hbm=hbm)
+                               hbm=hbm, use_cull=use_cull)
 
     return _sorted_call(run, 1, org, dirn, tnear, tfar, bbox_lo, bbox_hi)
 
@@ -448,7 +455,7 @@ def _kernel_any(nodes_ref, tris_ref,
                 ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                 tn_ref, tf_ref, occ_out,
                 stack_ref, tri_scratch, dma_sem,
-                max_leaf: int, hbm: bool):
+                max_leaf: int, hbm: bool, use_cull: bool):
     """Any-hit: unordered traversal pruned against the not-yet-occluded
     mask, terminating as soon as the whole packet is occluded.  occ is
     carried as i32 (Mosaic can't carry i1 vectors through scf loops)."""
@@ -514,11 +521,12 @@ def _kernel_any(nodes_ref, tris_ref,
                 th = -owp * inv_dw
                 uh = oup + th * dup
                 vh = ovp + th * dvp
-                ngd = dx * w[12] + dy * w[13] + dz * w[14]
-                cull_ok = (w[15] != 1.0) | (ngd < 0.0)
                 hit = ((jnp.abs(dwp) > 1e-12)
                        & (uh >= 0.0) & (vh >= 0.0) & (uh + vh <= 1.0)
-                       & (th > tnear) & (th < tfar) & cull_ok)
+                       & (th > tnear) & (th < tfar))
+                if use_cull:
+                    ngd = dx * w[12] + dy * w[13] + dz * w[14]
+                    hit = hit & ((w[15] != 1.0) | (ngd < 0.0))
                 return jnp.maximum(occ, hit.astype(jnp.int32))
 
             occ = _leaf_groups(tris_ref, a, tag, max_leaf, tri_test, occ,
@@ -558,10 +566,11 @@ def _kernel_any(nodes_ref, tris_ref,
     occ_out[:] = occ
 
 
-@partial(jax.jit, static_argnames=('max_leaf', 'interpret', 'hbm'))
+@partial(jax.jit, static_argnames=('max_leaf', 'interpret', 'hbm',
+                                   'use_cull'))
 def occluded_packet(nodes, tris, org, dirn, tnear, tfar,
                     max_leaf: int = 64, interpret: bool = False,
-                    hbm: bool = False):
+                    hbm: bool = False, use_cull: bool = True):
     """Any-hit packet traversal (early-exit shadow kernel)."""
     r = org.shape[0]
     assert r % BLOCK == 0, f"ray count must be a multiple of {BLOCK}"
@@ -569,7 +578,8 @@ def occluded_packet(nodes, tris, org, dirn, tnear, tfar,
     tri_space = pltpu.ANY if hbm else pltpu.VMEM
 
     occ = pl.pallas_call(
-        partial(_kernel_any, max_leaf=max_leaf, hbm=hbm),
+        partial(_kernel_any, max_leaf=max_leaf, hbm=hbm,
+                use_cull=use_cull),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # nodes (scalar mem)

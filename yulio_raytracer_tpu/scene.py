@@ -177,6 +177,7 @@ class SceneBuilder:
             num_triangles=n_tris,
             packet=packet,
             packet_hbm=packet_hbm,
+            any_cull=bool(np.any(np.asarray(packed.cull) != 0)),
             lobe_types=tuple(sorted({lo.type for ms in self.materials
                                      for lo in ms.lobes})),
         )
@@ -217,6 +218,9 @@ class TpuScene:
     # True when the packed triangle rows exceed the VMEM budget: the
     # packet kernels then keep them HBM-resident and DMA leaf windows
     packet_hbm: bool = field(metadata=dict(static=True), default=False)
+    # True when any triangle has back-face culling enabled — lets the
+    # packet kernels compile away the per-triangle cull test
+    any_cull: bool = field(metadata=dict(static=True), default=True)
     # static set of lobe type ids used by any material — lets the shader
     # compile away unused BSDF families (shading/lobes.py sample_lobes)
     lobe_types: Optional[tuple] = field(metadata=dict(static=True),
