@@ -33,6 +33,9 @@ def _load_scene(name, force_bvh):
     elif name == 'cornell_empty':
         sb = builtin_scenes.cornell_box(with_boxes=False)
         camera = lambda w, h: builtin_scenes.cornell_camera(w, h)
+    elif name == 'colonnade':
+        sb = builtin_scenes.colonnade()
+        camera = lambda w, h: builtin_scenes.colonnade_camera(w, h)
     elif name == 'sphere_glass':
         settings = ecs.RenderSettings()
         sb = SceneBuilder()
@@ -58,14 +61,21 @@ def main():
     ap.add_argument('--depth', type=int, default=4)
     ap.add_argument('--scenes', default='cornell,sphere_glass')
     ap.add_argument('--modes', default='dense')   # dense,bvh
+    ap.add_argument('--out', default=None,
+                    help='also write the JSON results to this file')
     args = ap.parse_args()
 
+    import jax
     from yulio_raytracer_tpu.integrator import pathtracer as pt
     from yulio_raytracer_tpu import renderer
 
     results = []
     for scene_name in args.scenes.split(','):
         for mode in args.modes.split(','):
+            if scene_name == 'colonnade' and mode == 'dense':
+                # ~92k tris brute-force runs minutes per frame — the
+                # dense intersector is the small-scene path by design
+                continue
             scene, camera_fn, build_s = _load_scene(scene_name,
                                                     mode == 'bvh')
             camera = camera_fn(args.size, args.size)
@@ -83,6 +93,8 @@ def main():
                 'mode': mode,
                 'tris': scene.num_triangles,
                 'build_s': round(build_s, 3),
+                'bvh_nodes': (0 if scene.bvh is None
+                              else int(scene.bvh['lo'].shape[0])),
                 'size': args.size,
                 'spp': args.spp,
                 'first_s': round(secs[0], 3),
@@ -94,7 +106,16 @@ def main():
                   f"build={row['build_s']:.2f}s "
                   f"steady={row['steady_s']:.2f}s "
                   f"mrps={row['mrps']:.2f}", flush=True)
-    print(json.dumps(results))
+    blob = {
+        'device': str(jax.devices()[0]),
+        'config': {'size': args.size, 'spp': args.spp,
+                   'depth': args.depth, 'frames': args.frames},
+        'results': results,
+    }
+    print(json.dumps(blob))
+    if args.out:
+        with open(args.out, 'w') as f:
+            json.dump(blob, f, indent=1)
 
 
 if __name__ == '__main__':

@@ -39,7 +39,9 @@ from .shading import textures as gtex
 from .lights import lights as glights
 
 # below this triangle count, brute-force beats traversal on TPU
-BRUTE_FORCE_MAX_TRIS = 16384
+# (retuned for the round-2 packet kernel: at 5k tris BVH already wins
+# 2.4x — see BENCHMATRIX.json sphere_glass dense-vs-bvh)
+BRUTE_FORCE_MAX_TRIS = 2048
 # packed triangle rows beyond this stay HBM-resident and the packet
 # kernels DMA leaf windows (VMEM is ~16 MB and the kernel needs room for
 # ray blocks; Embree likewise keeps big BVHs DRAM-resident)
