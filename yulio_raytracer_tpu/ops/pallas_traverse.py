@@ -498,6 +498,7 @@ def _kernel_any(nodes_ref, tris_ref,
         sp, occ, done = state
         return (sp >= 0) & jnp.logical_not(done)
 
+
     def body(state):
         sp, occ, done = state
         node = stack_ref[sp]
@@ -561,9 +562,14 @@ def _kernel_any(nodes_ref, tris_ref,
 
         return sp2, occ, done
 
-    init = (jnp.int32(0), jnp.zeros((BLOCK,), jnp.int32), jnp.bool_(False))
+    # dead lanes (tfar <= tnear, the integrator's inactive marker) start
+    # as occluded: they can never hit anything, so leaving them at 0
+    # would keep the all-occluded early exit from ever firing in mixed
+    # packets.  They are masked back to 0 on output.
+    dead = (tfar <= tnear).astype(jnp.int32)
+    init = (jnp.int32(0), dead, jnp.bool_(False))
     _, occ, _ = jax.lax.while_loop(cond, body, init)
-    occ_out[:] = occ
+    occ_out[:] = occ * (1 - dead)
 
 
 @partial(jax.jit, static_argnames=('max_leaf', 'interpret', 'hbm',
