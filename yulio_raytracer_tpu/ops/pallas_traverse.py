@@ -155,7 +155,8 @@ def _kernel(nodes_ref, tris_ref,
             tn_ref, tf_ref,
             t_out, tri_out, u_out, v_out,
             stack_ref, stackt_ref, tri_scratch, dma_sem,
-            max_leaf: int, hbm: bool, use_cull: bool):
+            max_leaf: int, hbm: bool, use_cull: bool,
+            ordered: bool = True):
     ox = ox_ref[:]
     oy = oy_ref[:]
     oz = oz_ref[:]
@@ -207,7 +208,7 @@ def _kernel(nodes_ref, tris_ref,
     def body(state):
         sp, t_best, tri_best, u_best, v_best, t_allmax = state
         node = stack_ref[sp]
-        tpop = stackt_ref[sp]
+        tpop = stackt_ref[sp] if ordered else jnp.float32(0.0)
         sp = sp - 1
 
         def process(carry):
@@ -260,6 +261,12 @@ def _kernel(nodes_ref, tris_ref,
                 hit_r, tmin_r = slab(a, t_b)
                 any_l = jnp.any(hit_l)
                 any_r = jnp.any(hit_r)
+                if not ordered:
+                    # ablation knob (measured: ordering + pop culling win
+                    # ~30% even on sorted-incoherent packets — 1.93 vs
+                    # 1.48 Mrps at 92k tris — so ordered stays default)
+                    z = jnp.float32(0.0)
+                    return any_l, any_r, z, z, jnp.bool_(True)
                 m_l = jnp.min(jnp.where(hit_l, tmin_l, INF))
                 m_r = jnp.min(jnp.where(hit_r, tmin_r, INF))
                 axis = -tag - 1
@@ -296,18 +303,23 @@ def _kernel(nodes_ref, tris_ref,
             @pl.when(far_any)
             def _():
                 stack_ref[sp1] = far_idx
-                stackt_ref[sp1] = far_m
+                if ordered:
+                    stackt_ref[sp1] = far_m
 
             sp2 = sp1 + near_any.astype(jnp.int32)
 
             @pl.when(near_any)
             def _():
                 stack_ref[sp2] = near_idx
-                stackt_ref[sp2] = near_m
+                if ordered:
+                    stackt_ref[sp2] = near_m
 
             return sp2, t_best, tri_best, u_best, v_best, t_allmax
 
         # pop culling: stale entries (pushed before t_best shrank) skipped
+        if not ordered:
+            return process(
+                (sp, t_best, tri_best, u_best, v_best, t_allmax))
         live = tpop <= t_allmax
         return jax.lax.cond(
             live, process, lambda c: c,
@@ -333,10 +345,11 @@ def _vec_spec():
 
 
 @partial(jax.jit, static_argnames=('max_leaf', 'interpret', 'hbm',
-                                   'use_cull'))
+                                   'use_cull', 'ordered'))
 def intersect_packet(nodes, tris, org, dirn, tnear, tfar,
                      max_leaf: int = 64, interpret: bool = False,
-                     hbm: bool = False, use_cull: bool = True) -> Hit:
+                     hbm: bool = False, use_cull: bool = True,
+                     ordered: bool = True) -> Hit:
     """Closest-hit packet traversal.
 
     nodes: (N, 8) f32 (pack_nodes); tris: (G, 128) f32 (pack_tris);
@@ -349,7 +362,8 @@ def intersect_packet(nodes, tris, org, dirn, tnear, tfar,
     tri_space = pltpu.ANY if hbm else pltpu.VMEM
 
     t, tri, u, v = pl.pallas_call(
-        partial(_kernel, max_leaf=max_leaf, hbm=hbm, use_cull=use_cull),
+        partial(_kernel, max_leaf=max_leaf, hbm=hbm, use_cull=use_cull,
+                ordered=ordered),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # nodes (scalar mem)
@@ -756,7 +770,7 @@ def _kernel_mb(nodes_ref, tris_ref,
     def body(state):
         sp, t_best, tri_best, u_best, v_best, t_allmax = state
         node = stack_ref[sp]
-        tpop = stackt_ref[sp]
+        tpop = stackt_ref[sp] if ordered else jnp.float32(0.0)
         sp = sp - 1
 
         def process(carry):
@@ -823,14 +837,16 @@ def _kernel_mb(nodes_ref, tris_ref,
             @pl.when(far_any)
             def _():
                 stack_ref[sp1] = far_idx
-                stackt_ref[sp1] = far_m
+                if ordered:
+                    stackt_ref[sp1] = far_m
 
             sp2 = sp1 + near_any.astype(jnp.int32)
 
             @pl.when(near_any)
             def _():
                 stack_ref[sp2] = near_idx
-                stackt_ref[sp2] = near_m
+                if ordered:
+                    stackt_ref[sp2] = near_m
 
             return sp2, t_best, tri_best, u_best, v_best, t_allmax
 
