@@ -489,6 +489,11 @@ def _kernel_any(nodes_ref, tris_ref,
     ix = safe_inv(dx)
     iy = safe_inv(dy)
     iz = safe_inv(dz)
+    # near-child-first ordering helps any-hit too: occluders are found
+    # sooner, lanes drop out of the active mask, subtrees prune earlier
+    sgn = ((jnp.sum(dx) >= 0.0).astype(jnp.int32),
+           (jnp.sum(dy) >= 0.0).astype(jnp.int32),
+           (jnp.sum(dz) >= 0.0).astype(jnp.int32))
 
     def slab_unocc(n, unocc):
         b = 8 * n
@@ -562,17 +567,25 @@ def _kernel_any(nodes_ref, tris_ref,
             is_leaf, lambda c: (jnp.bool_(False), jnp.bool_(False)),
             do_interior, (occ, done))
 
-        sp1 = sp + push_r.astype(jnp.int32)
+        axis = -tag - 1
+        left_near = jnp.where(
+            axis == 0, sgn[0], jnp.where(axis == 1, sgn[1], sgn[2])) != 0
+        near_idx = jnp.where(left_near, node + 1, a)
+        far_idx = jnp.where(left_near, a, node + 1)
+        push_near = jnp.where(left_near, push_l, push_r)
+        push_far = jnp.where(left_near, push_r, push_l)
 
-        @pl.when(push_r)
+        sp1 = sp + push_far.astype(jnp.int32)
+
+        @pl.when(push_far)
         def _():
-            stack_ref[sp1] = a
+            stack_ref[sp1] = far_idx
 
-        sp2 = sp1 + push_l.astype(jnp.int32)
+        sp2 = sp1 + push_near.astype(jnp.int32)
 
-        @pl.when(push_l)
+        @pl.when(push_near)
         def _():
-            stack_ref[sp2] = node + 1
+            stack_ref[sp2] = near_idx
 
         return sp2, occ, done
 
