@@ -783,7 +783,7 @@ def _kernel_mb(nodes_ref, tris_ref,
     def body(state):
         sp, t_best, tri_best, u_best, v_best, t_allmax = state
         node = stack_ref[sp]
-        tpop = stackt_ref[sp] if ordered else jnp.float32(0.0)
+        tpop = stackt_ref[sp]
         sp = sp - 1
 
         def process(carry):
@@ -850,16 +850,14 @@ def _kernel_mb(nodes_ref, tris_ref,
             @pl.when(far_any)
             def _():
                 stack_ref[sp1] = far_idx
-                if ordered:
-                    stackt_ref[sp1] = far_m
+                stackt_ref[sp1] = far_m
 
             sp2 = sp1 + near_any.astype(jnp.int32)
 
             @pl.when(near_any)
             def _():
                 stack_ref[sp2] = near_idx
-                if ordered:
-                    stackt_ref[sp2] = near_m
+                stackt_ref[sp2] = near_m
 
             return sp2, t_best, tri_best, u_best, v_best, t_allmax
 
