@@ -93,3 +93,33 @@ def test_hdri_light_render():
     up = -d
     L2, _ = pt.trace(scene, pt.PTParams(max_depth=2), org, up, 0, pid, sid)
     np.testing.assert_allclose(np.asarray(L2)[:, 0], 2.0, atol=1e-4)
+
+
+def test_many_lights_dim_layout():
+    """>= 6 lights widen the per-bounce RNG dim layout
+    (pathtracer._dim_layout) so shadow-jitter dims cannot collide with
+    light-sample dims: with the fixed legacy layout, light 5's shadow
+    jitter reused light 0's sample scalar.  The render must stay finite,
+    deterministic, and additive-ish over independent lights."""
+    sb = SceneBuilder()
+    m = sb.add_material(gmat.make_material('matte', {'reflectance': 0.5}))
+    pos = np.asarray([[-100, 0, -100], [100, 0, -100], [100, 0, 100],
+                      [-100, 0, 100]], np.float32)
+    tri = np.asarray([[0, 2, 1], [0, 3, 2]], np.int32)
+    sb.add_mesh(HostMesh(pos, tri,
+                         np.tile([[0., 1., 0.]], (4, 1)).astype(np.float32),
+                         material=m))
+    for i in range(8):
+        sb.add_light(gl.point((np.cos(i), 3.0, np.sin(i)), (2.0, 2.0, 2.0)))
+    scene = sb.commit()
+    dim_light, stride = pt._dim_layout(8)
+    assert dim_light == 3 + 8 and stride == dim_light + 8
+
+    org, d = _shade_points(128)
+    pid, sid = _ids(128)
+    params = pt.PTParams(max_depth=2, t_max_shadow_ray=50.0)
+    rgb, _ = pt.trace(scene, params, org, d, 1, pid, sid)
+    rgb2, _ = pt.trace(scene, params, org, d, 1, pid, sid)
+    assert np.isfinite(np.asarray(rgb)).all()
+    assert np.asarray(rgb).max() > 0.0
+    np.testing.assert_array_equal(np.asarray(rgb), np.asarray(rgb2))

@@ -58,7 +58,11 @@ class PTParams:
     # (pathtraceintegrator.cpp:80-84); None disables
 
 
-# RNG dimension layout (per bounce `d`, base = 16 + 16*d)
+# RNG dimension layout (per bounce `d`, base = 16 + stride*d).
+# With <= 5 lights the historical layout (stride 16, lights at dim 8)
+# is preserved bit-for-bit (golden images pin it); more lights widen the
+# layout so shadow-jitter dims never collide with light-sample dims and
+# bounces never overlap (collision at nl >= 6 under the fixed layout).
 _DIM_SCATTER = 0        # 2D lobe directional sample
 _DIM_SCATTER_TYPE = 1   # 1D lobe selection
 _DIM_RR = 2             # 1D russian roulette
@@ -66,8 +70,16 @@ _DIM_SHADOW = 3         # 1D shadow tMax jitter (+light)
 _DIM_LIGHT = 8          # 2D light sample (+light)
 
 
-def _bounce_dims(depth):
-    return jnp.uint32(16) + jnp.uint32(16) * depth.astype(jnp.uint32)
+def _dim_layout(n_lights: int):
+    """(dim_light, stride) for n_lights (static per scene)."""
+    if n_lights <= 5:
+        return _DIM_LIGHT, 16
+    dim_light = _DIM_SHADOW + n_lights
+    return dim_light, dim_light + n_lights
+
+
+def _bounce_dims(depth, stride: int = 16):
+    return jnp.uint32(stride) + jnp.uint32(stride) * depth.astype(jnp.uint32)
 
 
 def _use_packet(scene, org):
@@ -207,8 +219,10 @@ def trace(scene, params: PTParams, org, dirn, seed, pixel_id, sample_id,
         'num_rays': jnp.zeros((), jnp.float32),
     }
 
+    dim_light, dim_stride = _dim_layout(len(all_lights))
+
     def bounce(state, depth, sort_rays=False):
-        base = _bounce_dims(depth)
+        base = _bounce_dims(depth, dim_stride)
         active = state['active']
         org = state['org']
         dirn = state['dir']
@@ -291,7 +305,7 @@ def trace(scene, params: PTParams, org, dirn, seed, pixel_id, sample_id,
             mask_ok = (jnp.uint32(l['illum_mask'] & 0xFFFFFFFF)
                        & dg['illum_mask'].astype(jnp.uint32)) != 0
             u2 = rng.uniform2(seed, pixel_id, sample_id,
-                              base + jnp.uint32(_DIM_LIGHT + li))
+                              base + jnp.uint32(dim_light + li))
             le, wi, pdf, tmax = glights.sample(l, dg['P'], ns, u2)
             cand = use_dl & mask_ok & (pdf > 0.0) \
                 & jnp.any(le > 0.0, axis=-1)

@@ -156,7 +156,7 @@ def _kernel(nodes_ref, tris_ref,
             t_out, tri_out, u_out, v_out,
             stack_ref, stackt_ref, tri_scratch, dma_sem,
             max_leaf: int, hbm: bool, use_cull: bool,
-            ordered: bool = True):
+            ordered: bool = True, counts_out=None):
     ox = ox_ref[:]
     oy = oy_ref[:]
     oz = oz_ref[:]
@@ -206,16 +206,29 @@ def _kernel(nodes_ref, tris_ref,
         return state[0] >= 0
 
     def body(state):
-        sp, t_best, tri_best, u_best, v_best, t_allmax = state
+        if counts_out is None:
+            sp, t_best, tri_best, u_best, v_best, t_allmax = state
+            cnt = None
+        else:
+            sp, t_best, tri_best, u_best, v_best, t_allmax, cnt = state
         node = stack_ref[sp]
         tpop = stackt_ref[sp] if ordered else jnp.float32(0.0)
         sp = sp - 1
 
         def process(carry):
-            sp, t_best, tri_best, u_best, v_best, t_allmax = carry
+            if counts_out is None:
+                sp, t_best, tri_best, u_best, v_best, t_allmax = carry
+                cnt = None
+            else:
+                sp, t_best, tri_best, u_best, v_best, t_allmax, cnt = carry
             a = nodes_ref[8 * node + 6].astype(jnp.int32)
             tag = nodes_ref[8 * node + 7].astype(jnp.int32)
             is_leaf = tag > 0
+            if cnt is not None:
+                rows = jnp.where(is_leaf,
+                                 (a + tag + 7) // 8 - a // 8, 0)
+                cnt = (cnt[0], cnt[1],
+                       cnt[2] + is_leaf.astype(jnp.int32), cnt[3] + rows)
 
             def do_leaf(carry2):
                 t_b, tri_b, u_b, v_b, _ = carry2
@@ -314,16 +327,21 @@ def _kernel(nodes_ref, tris_ref,
                 if ordered:
                     stackt_ref[sp2] = near_m
 
-            return sp2, t_best, tri_best, u_best, v_best, t_allmax
+            if cnt is None:
+                return sp2, t_best, tri_best, u_best, v_best, t_allmax
+            return sp2, t_best, tri_best, u_best, v_best, t_allmax, cnt
 
         # pop culling: stale entries (pushed before t_best shrank) skipped
+        live = jnp.bool_(True) if not ordered else tpop <= t_allmax
+        if cnt is not None:
+            cnt = (cnt[0] + 1,
+                   cnt[1] + 1 - live.astype(jnp.int32), cnt[2], cnt[3])
+            carry = (sp, t_best, tri_best, u_best, v_best, t_allmax, cnt)
+        else:
+            carry = (sp, t_best, tri_best, u_best, v_best, t_allmax)
         if not ordered:
-            return process(
-                (sp, t_best, tri_best, u_best, v_best, t_allmax))
-        live = tpop <= t_allmax
-        return jax.lax.cond(
-            live, process, lambda c: c,
-            (sp, t_best, tri_best, u_best, v_best, t_allmax))
+            return process(carry)
+        return jax.lax.cond(live, process, lambda c: c, carry)
 
     # t_best starts at tfar0 (not INF): every per-triangle and per-slab
     # min(tfar0, t_best) collapses to t_best.  Misses are detected via
@@ -331,8 +349,17 @@ def _kernel(nodes_ref, tris_ref,
     init = (jnp.int32(0), tfar0,
             jnp.full((BLOCK,), -1, jnp.int32),
             jnp.zeros((BLOCK,)), jnp.zeros((BLOCK,)), jnp.float32(INF))
+    if counts_out is not None:
+        init = init + ((jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                        jnp.int32(0)),)
     out = jax.lax.while_loop(cond, body, init)
-    _, t_best, tri_best, u_best, v_best, _ = out
+    t_best, tri_best, u_best, v_best = out[1], out[2], out[3], out[4]
+    if counts_out is not None:
+        cnt = out[6]
+        counts_out[0, 0] = cnt[0]
+        counts_out[0, 1] = cnt[1]
+        counts_out[0, 2] = cnt[2]
+        counts_out[0, 3] = cnt[3]
     # report INF for misses (round-1 kernel contract; tests key on it)
     t_out[:] = jnp.where(tri_best >= 0, t_best, INF)
     tri_out[:] = tri_best
@@ -345,25 +372,46 @@ def _vec_spec():
 
 
 @partial(jax.jit, static_argnames=('max_leaf', 'interpret', 'hbm',
-                                   'use_cull', 'ordered'))
+                                   'use_cull', 'ordered', 'debug_counts'))
 def intersect_packet(nodes, tris, org, dirn, tnear, tfar,
                      max_leaf: int = 64, interpret: bool = False,
                      hbm: bool = False, use_cull: bool = True,
-                     ordered: bool = True) -> Hit:
+                     ordered: bool = True, debug_counts: bool = False):
     """Closest-hit packet traversal.
 
     nodes: (N, 8) f32 (pack_nodes); tris: (G, 128) f32 (pack_tris);
     org/dirn: (R, 3) with R a multiple of BLOCK.  hbm=True keeps the
     triangle rows in HBM and DMA-streams leaf windows (scenes > VMEM).
+    debug_counts=True additionally returns a (R//BLOCK, 4) i32 profile
+    [pops, culled pops, leaf visits, tri rows] per packet (profiling
+    builds only — the extra carry costs a few percent).
     """
     r = org.shape[0]
     assert r % BLOCK == 0, f"ray count must be a multiple of {BLOCK}"
     grid = (r // BLOCK,)
     tri_space = pltpu.ANY if hbm else pltpu.VMEM
 
-    t, tri, u, v = pl.pallas_call(
-        partial(_kernel, max_leaf=max_leaf, hbm=hbm, use_cull=use_cull,
-                ordered=ordered),
+    out_specs = [_vec_spec(), _vec_spec(), _vec_spec(), _vec_spec()]
+    out_shape = [
+        jax.ShapeDtypeStruct((r,), jnp.float32),
+        jax.ShapeDtypeStruct((r,), jnp.int32),
+        jax.ShapeDtypeStruct((r,), jnp.float32),
+        jax.ShapeDtypeStruct((r,), jnp.float32),
+    ]
+    kernel = partial(_kernel, max_leaf=max_leaf, hbm=hbm,
+                     use_cull=use_cull, ordered=ordered)
+    if debug_counts:
+        out_specs.append(pl.BlockSpec((1, 4), lambda i: (i, 0),
+                                      memory_space=pltpu.SMEM))
+        out_shape.append(jax.ShapeDtypeStruct((r // BLOCK, 4), jnp.int32))
+
+        def kernel(*refs, _k=partial(_kernel, max_leaf=max_leaf, hbm=hbm,
+                                     use_cull=use_cull, ordered=ordered)):
+            ins, outs = refs[:10], refs[10:]
+            _k(*ins, *outs[:4], *outs[5:], counts_out=outs[4])
+
+    outs = pl.pallas_call(
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # nodes (scalar mem)
@@ -372,13 +420,8 @@ def intersect_packet(nodes, tris, org, dirn, tnear, tfar,
             _vec_spec(), _vec_spec(), _vec_spec(),   # dir xyz
             _vec_spec(), _vec_spec(),                # tnear, tfar
         ],
-        out_specs=[_vec_spec(), _vec_spec(), _vec_spec(), _vec_spec()],
-        out_shape=[
-            jax.ShapeDtypeStruct((r,), jnp.float32),
-            jax.ShapeDtypeStruct((r,), jnp.int32),
-            jax.ShapeDtypeStruct((r,), jnp.float32),
-            jax.ShapeDtypeStruct((r,), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32),
                         pltpu.SMEM((STACK,), jnp.float32),
                         pltpu.VMEM((_hbm_window(max_leaf), 128),
@@ -388,6 +431,9 @@ def intersect_packet(nodes, tris, org, dirn, tnear, tfar,
     )(nodes.reshape(-1), tris,
       org[:, 0], org[:, 1], org[:, 2],
       dirn[:, 0], dirn[:, 1], dirn[:, 2], tnear, tfar)
+    t, tri, u, v = outs[:4]
+    if debug_counts:
+        return Hit(t, tri, u, v), outs[4]
     return Hit(t, tri, u, v)
 
 
