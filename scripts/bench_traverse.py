@@ -10,6 +10,7 @@ import argparse
 import sys
 import time
 import os
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 

@@ -13,6 +13,7 @@ Usage:
 import argparse
 import json
 import os
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 import sys
 import time
 

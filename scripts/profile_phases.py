@@ -13,6 +13,7 @@ Usage: python scripts/profile_phases.py [--res 1024] [--leaf 32]
 """
 import argparse
 import os
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 import sys
 import time
 
@@ -162,6 +163,37 @@ def main():
     timeit("E shadow@b1 any-hit (sorted)",
            lambda: ppt.occluded_packet_sorted(
                nodes, tris, so1, sd1, stn1, stf1, **skw), ns_rays)
+    timeit("E'shadow@b1 any-hit (UNsorted)",
+           lambda: ppt.occluded_packet(
+               nodes, tris, so1, sd1, stn1, stf1, **kw), ns_rays)
+    h2 = ppt.intersect_packet_sorted(nodes, tris, o2, d2, tn, tf2, **skw)
+    p2 = o2 + h2.t[:, None] * d2
+    so2, sd2, stn2, stf2 = shadow_batch(p2, v1 & (h2.tri >= 0), 13)
+    timeit("E2 shadow@b2-ish (sorted)",
+           lambda: ppt.occluded_packet_sorted(
+               nodes, tris, so2, sd2, stn2, stf2, **skw), ns_rays)
+    timeit("E2'shadow@b2-ish (UNsorted)",
+           lambda: ppt.occluded_packet(
+               nodes, tris, so2, sd2, stn2, stf2, **kw), ns_rays)
+
+    # ---- treelet-binned wavefront (the incoherent-ray fix) ----
+    if 'treelet_roots' in scene.packet:
+        troots = scene.packet['treelet_roots']
+        tboxes = scene.packet['treelet_boxes']
+        print("treelets:", int(troots.shape[0]))
+        for rounds in (1, 2):
+            timeit("G bounce-1 closest binned r%d" % rounds,
+                   lambda: ppt.intersect_packet_binned(
+                       nodes, tris, troots, tboxes, o1, d1, tn, tf1,
+                       rounds=rounds, **skw), n)
+            timeit("G bounce-2 closest binned r%d" % rounds,
+                   lambda: ppt.intersect_packet_binned(
+                       nodes, tris, troots, tboxes, o2, d2, tn, tf2,
+                       rounds=rounds, **skw), n)
+            timeit("G shadow@b1 any-hit binned r%d" % rounds,
+                   lambda: ppt.occluded_packet_binned(
+                       nodes, tris, troots, tboxes, so1, sd1, stn1, stf1,
+                       rounds=rounds, **skw), ns_rays)
 
     # ---- sort cost alone ----
     key = ppt._ray_sort_key(o1, d1, scene.bbox_lo, scene.bbox_hi)

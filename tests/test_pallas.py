@@ -192,3 +192,162 @@ def test_packet_hbm_matches_vmem():
     occ = ppt.occluded_packet(nodes, tris, org, d, tn, tf, max_leaf=8,
                               interpret=True, hbm=True)
     np.testing.assert_array_equal(np.asarray(occ), np.asarray(occ_ref))
+
+
+def test_binned_matches_plain():
+    """Treelet-binned wavefront traversal (intersect/occluded_packet_binned)
+    is exact: identical to the plain packet kernel at every round count,
+    including dead lanes and the round-0 (fallback-only) edge."""
+    nodes, tris, geom, tree = _build([
+        primitives.tessellate_sphere([0, 0, 0], 1.0, 12, 16),
+        primitives.tessellate_sphere([3, 0, 0], 0.7, 10, 12),
+        primitives.quad([-6, -1.2, -6], [6, -1.2, -6], [6, -1.2, 6],
+                        [-6, -1.2, 6]),
+    ])
+    troots, tboxes = ppt.treelet_cut(np.asarray(nodes), max_treelets=6)
+    assert len(troots) > 1
+    rs = np.random.RandomState(5)
+    R = ppt.BLOCK * 2
+    org = jnp.asarray(rs.randn(R, 3).astype(np.float32) * 2)
+    d = rs.randn(R, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    tn = jnp.full((R,), 1e-4)
+    tf = jnp.full((R,), np.inf).at[::5].set(-1.0)   # some dead lanes
+    bb_lo = tuple(np.asarray(jnp.min(geom['v0'], axis=0)).tolist())
+    bb_hi = tuple(np.asarray(jnp.max(geom['v0'], axis=0)).tolist())
+
+    ref = ppt.intersect_packet(nodes, tris, org, d, tn, tf,
+                               max_leaf=tree_leaf(tree), interpret=True)
+    for rounds in (0, 2):
+        got = ppt.intersect_packet_binned(
+            nodes, tris, jnp.asarray(troots), jnp.asarray(tboxes),
+            org, d, tn, tf, bb_lo, bb_hi, max_leaf=tree_leaf(tree),
+            interpret=True, rounds=rounds)
+        np.testing.assert_array_equal(np.asarray(ref.tri),
+                                      np.asarray(got.tri))
+        np.testing.assert_allclose(
+            np.where(np.isfinite(ref.t), ref.t, 0.0),
+            np.where(np.isfinite(got.t), got.t, 0.0), atol=1e-5)
+
+    tfo = jnp.full((R,), 3.0).at[::5].set(-1.0)
+    refo = ppt.occluded_packet(nodes, tris, org, d, tn, tfo,
+                               max_leaf=tree_leaf(tree), interpret=True)
+    goto = ppt.occluded_packet_binned(
+        nodes, tris, jnp.asarray(troots), jnp.asarray(tboxes),
+        org, d, tn, tfo, bb_lo, bb_hi, max_leaf=tree_leaf(tree),
+        interpret=True, rounds=2)
+    np.testing.assert_array_equal(np.asarray(refo), np.asarray(goto))
+
+
+def tree_leaf(tree):
+    return 8
+
+
+def _planes(geom):
+    from yulio_raytracer_tpu.ops import pallas_pairs as ppp
+    host = {k: np.asarray(v) for k, v in geom.items()}
+    woop = mesh.woop_matrices(host['v0'], host['e1'], host['e2'],
+                              host['valid'])
+    planes, rows = ppp.pack_planes(np.asarray(woop), host)
+    return jnp.asarray(planes), jnp.asarray(rows)
+
+
+def test_pairs_matches_brute():
+    """Outer-product dense kernel (rays-in-sublanes) is exact vs brute
+    force: closest hit incl. recomputed u/v, any-hit incl. dead lanes,
+    and the ranged (treelet-sweep) form."""
+    from yulio_raytracer_tpu.ops import pallas_pairs as ppp
+    nodes, tris, geom, _ = _build([
+        primitives.tessellate_sphere([0, 0, 0], 1.0, 12, 16),
+        primitives.quad([-5, -1.2, -5], [5, -1.2, -5], [5, -1.2, 5],
+                        [-5, -1.2, 5]),
+        primitives.single_triangle([2, 0, 0], [3, 0, 0], [2, 1, 0],
+                                   cull=mesh.CULL_BACK),
+    ])
+    planes, rows = _planes(geom)
+    rs = np.random.RandomState(3)
+    R = 128
+    org = jnp.asarray(rs.randn(R, 3).astype(np.float32) * 3)
+    d = rs.randn(R, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    tn = jnp.full((R,), 1e-4)
+    tf = jnp.full((R,), jnp.inf).at[::5].set(-1.0)
+    hit = ppp.intersect_pairs(planes, rows, org, d, tn, tf,
+                              interpret=True)
+    ref = intersect.intersect_brute(geom, org, d, tn, tf, block=64)
+    both = np.isfinite(np.asarray(ref.t))
+    assert (np.isfinite(np.asarray(hit.t)) == both).all()
+    np.testing.assert_allclose(np.asarray(hit.t)[both],
+                               np.asarray(ref.t)[both],
+                               rtol=1e-4, atol=1e-5)
+    assert (np.asarray(hit.tri)[both] == np.asarray(ref.tri)[both]).all()
+    np.testing.assert_allclose(np.asarray(hit.u)[both],
+                               np.asarray(ref.u)[both], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(hit.v)[both],
+                               np.asarray(ref.v)[both], atol=1e-4)
+    # any-hit (dead lanes report occluded, like occluded_packet)
+    tfo = jnp.full((R,), 3.0).at[::5].set(-1.0)
+    occ = ppp.occluded_pairs(planes, org, d, tn, tfo, interpret=True)
+    refo = intersect.intersect_brute(geom, org, d, tn, tfo, block=64)
+    expect = np.isfinite(np.asarray(refo.t)) | (np.asarray(tfo) <= 1e-4)
+    np.testing.assert_array_equal(np.asarray(occ), expect)
+    # explicit full-range ranged call == plain call
+    gs = jnp.zeros((R // 16,), jnp.int32)
+    ge = jnp.full((R // 16,), planes.shape[0], jnp.int32)
+    hit2 = ppp.intersect_pairs(planes, rows, org, d, tn, tf,
+                               gs=gs, ge=ge, rt=2, interpret=True)
+    np.testing.assert_array_equal(np.asarray(hit2.tri),
+                                  np.asarray(hit.tri))
+
+
+def test_dense_binned_matches_plain():
+    """Treelet-binned dense sweeps (intersect/occluded_dense_binned) are
+    exact: identical to the packet kernel at every round count."""
+    nodes, tris, geom, tree = _build([
+        primitives.tessellate_sphere([0, 0, 0], 1.0, 12, 16),
+        primitives.tessellate_sphere([3, 0, 0], 0.7, 10, 12),
+        primitives.quad([-6, -1.2, -6], [6, -1.2, -6], [6, -1.2, 6],
+                        [-6, -1.2, 6]),
+    ])
+    nodes_np = np.asarray(nodes)
+    troots, tboxes = ppt.treelet_cut(nodes_np, max_treelets=6)
+    tgs, tge = ppt.treelet_tri_tiles(nodes_np, troots)
+    planes, rows = _planes(geom)
+    rs = np.random.RandomState(5)
+    R = ppt.BLOCK
+    org = jnp.asarray(rs.randn(R, 3).astype(np.float32) * 2)
+    d = rs.randn(R, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    tn = jnp.full((R,), 1e-4)
+    tf = jnp.full((R,), np.inf).at[::5].set(-1.0)
+    bb_lo = tuple(np.asarray(jnp.min(geom['v0'], axis=0)).tolist())
+    bb_hi = tuple(np.asarray(jnp.max(geom['v0'], axis=0)).tolist())
+
+    ref = ppt.intersect_packet(nodes, tris, org, d, tn, tf,
+                               max_leaf=8, interpret=True)
+    for rounds in (0, 2):
+        got = ppt.intersect_dense_binned(
+            nodes, tris, planes, rows, jnp.asarray(tboxes),
+            jnp.asarray(tgs), jnp.asarray(tge), org, d, tn, tf,
+            bb_lo, bb_hi, max_leaf=8, interpret=True, rounds=rounds,
+            rt=2)
+        np.testing.assert_array_equal(np.asarray(ref.tri),
+                                      np.asarray(got.tri))
+        np.testing.assert_allclose(
+            np.where(np.isfinite(ref.t), ref.t, 0.0),
+            np.where(np.isfinite(got.t), got.t, 0.0), atol=1e-5)
+        hits = np.asarray(ref.tri) >= 0
+        np.testing.assert_allclose(np.asarray(ref.u)[hits],
+                                   np.asarray(got.u)[hits], atol=1e-4)
+
+    tfo = jnp.full((R,), 3.0).at[::5].set(-1.0)
+    refo = ppt.occluded_packet(nodes, tris, org, d, tn, tfo,
+                               max_leaf=8, interpret=True)
+    goto = ppt.occluded_dense_binned(
+        nodes, tris, planes, jnp.asarray(tboxes), jnp.asarray(tgs),
+        jnp.asarray(tge), org, d, tn, tfo, bb_lo, bb_hi, max_leaf=8,
+        interpret=True, rounds=2, rt=2)
+    np.testing.assert_array_equal(np.asarray(refo), np.asarray(goto))

@@ -54,6 +54,13 @@ class PTParams:
     # when set, the geometry's triangle axis is sharded over this mesh axis
     # and hits are combined across it (parallel/sharding.py)
     tri_axis: Optional[str] = None
+    # bounce>=1 wavefront regrouping: 'morton' = octant/Morton sort
+    # (default — fastest measured), 'dense' = treelet-binned dense
+    # sweeps (pallas_pairs; loses on enclosed scenes because heavily
+    # overlapping treelet boxes keep the bounded fallback expensive —
+    # kept as a measured ablation), 'treelet' = treelet-binned
+    # stack-kernel rounds (ablation), 'none' = raw pixel order
+    ray_binning: str = 'morton'
     # backplate: optional (H, W, 3) image for unbent escaped rays
     # (pathtraceintegrator.cpp:80-84); None disables
 
@@ -92,7 +99,7 @@ def _use_packet(scene, org):
 
 
 def _intersect(scene, org, dirn, tnear, tfar, time=None,
-               sort_rays=False):
+               sort_rays=False, binning='treelet'):
     if 'mv0' in scene.geom and time is not None:
         # motion blur (sphere_motion / -accel bvh4mb scenes): packet
         # traversal over union-bounds BVH when committed, dense otherwise
@@ -109,7 +116,27 @@ def _intersect(scene, org, dirn, tnear, tfar, time=None,
         if 'nodes' not in scene.packet:
             return ppd.intersect_dense(scene.packet['tris'], org, dirn,
                                        tnear, tfar)
-        if sort_rays:
+        if (sort_rays and binning == 'dense'
+                and 'planes' in scene.packet):
+            return ppt.intersect_dense_binned(
+                scene.packet['nodes'], scene.packet['tris'],
+                scene.packet['planes'], scene.packet['planes_rows'],
+                scene.packet['treelet_boxes'],
+                scene.packet['treelet_tile_lo'],
+                scene.packet['treelet_tile_hi'], org, dirn,
+                tnear, tfar, scene.bbox_lo, scene.bbox_hi,
+                max_leaf=scene.leaf_size, hbm=scene.packet_hbm,
+                use_cull=scene.any_cull)
+        if (sort_rays and binning == 'treelet'
+                and 'treelet_roots' in scene.packet):
+            return ppt.intersect_packet_binned(
+                scene.packet['nodes'], scene.packet['tris'],
+                scene.packet['treelet_roots'],
+                scene.packet['treelet_boxes'], org, dirn,
+                tnear, tfar, scene.bbox_lo, scene.bbox_hi,
+                max_leaf=scene.leaf_size, hbm=scene.packet_hbm,
+                use_cull=scene.any_cull)
+        if sort_rays and binning != 'none':
             return ppt.intersect_packet_sorted(
                 scene.packet['nodes'], scene.packet['tris'], org, dirn,
                 tnear, tfar, scene.bbox_lo, scene.bbox_hi,
@@ -150,7 +177,7 @@ def _post_intersect_combined(scene, org, dirn, hit, tri_axis):
 
 
 def _occluded(scene, org, dirn, tnear, tfar, tri_axis=None, time=None,
-              sort_rays=False):
+              sort_rays=False, binning='treelet', seg=None):
     if 'mv0' in scene.geom and time is not None:
         if _use_packet(scene, org) and 'tris_mb' in scene.packet:
             from ..ops import pallas_traverse as ppt
@@ -166,12 +193,31 @@ def _occluded(scene, org, dirn, tnear, tfar, tri_axis=None, time=None,
         if 'nodes' not in scene.packet:
             occ = ppd.occluded_dense(scene.packet['tris'], org, dirn,
                                      tnear, tfar)
-        elif sort_rays:
+        elif (sort_rays and binning == 'dense'
+                and 'planes' in scene.packet):
+            occ = ppt.occluded_dense_binned(
+                scene.packet['nodes'], scene.packet['tris'],
+                scene.packet['planes'], scene.packet['treelet_boxes'],
+                scene.packet['treelet_tile_lo'],
+                scene.packet['treelet_tile_hi'], org, dirn,
+                tnear, tfar, scene.bbox_lo, scene.bbox_hi,
+                max_leaf=scene.leaf_size, hbm=scene.packet_hbm,
+                use_cull=scene.any_cull)
+        elif (sort_rays and binning == 'treelet'
+                and 'treelet_roots' in scene.packet):
+            occ = ppt.occluded_packet_binned(
+                scene.packet['nodes'], scene.packet['tris'],
+                scene.packet['treelet_roots'],
+                scene.packet['treelet_boxes'], org, dirn,
+                tnear, tfar, scene.bbox_lo, scene.bbox_hi,
+                max_leaf=scene.leaf_size, hbm=scene.packet_hbm,
+                use_cull=scene.any_cull)
+        elif sort_rays and binning != 'none':
             occ = ppt.occluded_packet_sorted(
                 scene.packet['nodes'], scene.packet['tris'], org, dirn,
                 tnear, tfar, scene.bbox_lo, scene.bbox_hi,
                 max_leaf=scene.leaf_size, hbm=scene.packet_hbm,
-                use_cull=scene.any_cull)
+                use_cull=scene.any_cull, seg=seg)
         else:
             occ = ppt.occluded_packet(
                 scene.packet['nodes'], scene.packet['tris'], org, dirn,
@@ -239,7 +285,8 @@ def trace(scene, params: PTParams, org, dirn, seed, pixel_id, sample_id,
         tfar_live = jnp.where(active, jnp.inf, -1.0)
         hit = _intersect(scene, org, dirn,
                          jnp.zeros((r,)), tfar_live,
-                         time=time, sort_rays=sort_rays)
+                         time=time, sort_rays=sort_rays,
+                         binning=params.ray_binning)
         state = dict(state)
         state['num_rays'] = state['num_rays'] + jnp.sum(active)
         hit, dg = _post_intersect_combined(scene, org, dirn, hit,
@@ -345,7 +392,8 @@ def trace(scene, params: PTParams, org, dirn, seed, pixel_id, sample_id,
                 jnp.concatenate(tfars, axis=0),
                 params.tri_axis, time=(None if time is None
                                        else jnp.tile(time, (nl,))),
-                sort_rays=sort_rays)
+                sort_rays=sort_rays, binning=params.ray_binning,
+                seg=jnp.repeat(jnp.arange(nl, dtype=jnp.uint32), r))
             for li, (cand, contrib) in enumerate(nee):
                 lit = cand & ~occ_all[li * r:(li + 1) * r]
                 L = L + jnp.where(lit[:, None], contrib, 0.0)

@@ -98,6 +98,73 @@ def pack_tris(woop: np.ndarray, geom_host: dict,
     return out.reshape(g, 128)
 
 
+def treelet_cut(nodes: np.ndarray, max_treelets: int = 32):
+    """Cut the packed BVH into <= max_treelets disjoint subtrees that
+    together cover every leaf: repeatedly split the root with the largest
+    subtree into its two children (a top-down analog of Embree's builder
+    treelets).  Returns (roots (T,) i32, boxes (T, 6) f32 [lo|hi]).
+
+    The box entry distance of a treelet lower-bounds the t of any hit
+    inside it, so a ray's candidate treelets can be visited near-to-far
+    with early termination against its running t_best — this is what lets
+    the binned wavefront (intersect_packet_binned) skip most of the tree
+    for incoherent rays where one shared-stack packet could not."""
+    import heapq
+    tag = nodes[:, 7]
+    a = nodes[:, 6].astype(np.int64)
+    n = nodes.shape[0]
+    # subtree TRIANGLE counts (balance the cut by leaf work, not node
+    # count — the dense-sweep path's cost is proportional to triangles)
+    size = np.where(tag > 0, tag, 0).astype(np.int64)
+    for i in range(n - 1, -1, -1):
+        if tag[i] <= 0:
+            size[i] = size[i + 1] + size[int(a[i])]
+    # (-size, node): max-heap by subtree triangle count
+    heap = [(-int(size[0]), 0)]
+    while len(heap) < max_treelets:
+        neg, i = heapq.heappop(heap)
+        if tag[i] > 0:          # largest remaining is a leaf: done
+            heapq.heappush(heap, (neg, i))
+            break
+        heapq.heappush(heap, (-int(size[i + 1]), i + 1))
+        heapq.heappush(heap, (-int(size[int(a[i])]), int(a[i])))
+    roots = np.asarray(sorted(i for _, i in heap), np.int32)
+    boxes = np.concatenate([nodes[roots, 0:3], nodes[roots, 3:6]],
+                           axis=1).astype(np.float32)
+    return roots, boxes
+
+
+def treelet_tri_tiles(nodes: np.ndarray, roots: np.ndarray,
+                      tl: int = 128):
+    """Per-treelet contiguous triangle-tile range [gs, ge) in the
+    (Gt, 16, 128) planes layout of ops/pallas_pairs.py.
+
+    DFS node order plus leaf-ordered triangle packing make every
+    subtree's triangles one contiguous index range; rounding to tile
+    boundaries only adds boundary triangles of neighboring treelets,
+    which is harmless (they are real scene triangles — any hit found is
+    a true hit)."""
+    tag = nodes[:, 7]
+    a = nodes[:, 6].astype(np.int64)
+    n = nodes.shape[0]
+    nsize = np.ones(n, np.int64)
+    for i in range(n - 1, -1, -1):
+        if tag[i] <= 0:
+            nsize[i] = 1 + nsize[i + 1] + nsize[int(a[i])]
+    gs = np.zeros(len(roots), np.int32)
+    ge = np.zeros(len(roots), np.int32)
+    for j, r in enumerate(np.asarray(roots)):
+        end = int(r + nsize[r])
+        leaf = tag[r:end] > 0
+        starts = a[r:end][leaf]
+        counts = tag[r:end][leaf].astype(np.int64)
+        lo = int(starts.min())
+        hi = int((starts + counts).max())
+        gs[j] = lo // tl
+        ge[j] = -(-hi // tl)
+    return gs, ge
+
+
 def _max_groups(max_leaf: int) -> int:
     return (max_leaf + 7) // 8 + 1
 
@@ -156,7 +223,7 @@ def _kernel(nodes_ref, tris_ref,
             t_out, tri_out, u_out, v_out,
             stack_ref, stackt_ref, tri_scratch, dma_sem,
             max_leaf: int, hbm: bool, use_cull: bool,
-            ordered: bool = True, counts_out=None):
+            ordered: bool = True, counts_out=None, roots_ref=None):
     ox = ox_ref[:]
     oy = oy_ref[:]
     oz = oz_ref[:]
@@ -199,7 +266,10 @@ def _kernel(nodes_ref, tris_ref,
                            jnp.minimum(jnp.maximum(t0z, t1z), t_b))
         return tmin <= tmax, tmin
 
-    stack_ref[0] = 0        # push root (tested lazily on pop)
+    # push the start root (tested lazily on pop); a per-packet root (the
+    # binned wavefront's treelet) replaces the global root when given
+    stack_ref[0] = (0 if roots_ref is None
+                    else roots_ref[pl.program_id(0)])
     stackt_ref[0] = 0.0
 
     def cond(state):
@@ -356,10 +426,11 @@ def _kernel(nodes_ref, tris_ref,
     t_best, tri_best, u_best, v_best = out[1], out[2], out[3], out[4]
     if counts_out is not None:
         cnt = out[6]
-        counts_out[0, 0] = cnt[0]
-        counts_out[0, 1] = cnt[1]
-        counts_out[0, 2] = cnt[2]
-        counts_out[0, 3] = cnt[3]
+        pid = pl.program_id(0)
+        counts_out[pid, 0] = cnt[0]
+        counts_out[pid, 1] = cnt[1]
+        counts_out[pid, 2] = cnt[2]
+        counts_out[pid, 3] = cnt[3]
     # report INF for misses (round-1 kernel contract; tests key on it)
     t_out[:] = jnp.where(tri_best >= 0, t_best, INF)
     tri_out[:] = tri_best
@@ -373,7 +444,7 @@ def _vec_spec():
 
 @partial(jax.jit, static_argnames=('max_leaf', 'interpret', 'hbm',
                                    'use_cull', 'ordered', 'debug_counts'))
-def intersect_packet(nodes, tris, org, dirn, tnear, tfar,
+def intersect_packet(nodes, tris, org, dirn, tnear, tfar, roots=None,
                      max_leaf: int = 64, interpret: bool = False,
                      hbm: bool = False, use_cull: bool = True,
                      ordered: bool = True, debug_counts: bool = False):
@@ -382,14 +453,32 @@ def intersect_packet(nodes, tris, org, dirn, tnear, tfar,
     nodes: (N, 8) f32 (pack_nodes); tris: (G, 128) f32 (pack_tris);
     org/dirn: (R, 3) with R a multiple of BLOCK.  hbm=True keeps the
     triangle rows in HBM and DMA-streams leaf windows (scenes > VMEM).
-    debug_counts=True additionally returns a (R//BLOCK, 4) i32 profile
-    [pops, culled pops, leaf visits, tri rows] per packet (profiling
-    builds only — the extra carry costs a few percent).
+    roots: optional (R//BLOCK,) i32 per-packet start node (the binned
+    wavefront's treelet root); None starts every packet at the global
+    root.  debug_counts=True additionally returns a (R//BLOCK, 4) i32
+    profile [pops, culled pops, leaf visits, tri rows] per packet
+    (profiling builds only — the extra carry costs a few percent).
     """
     r = org.shape[0]
     assert r % BLOCK == 0, f"ray count must be a multiple of {BLOCK}"
     grid = (r // BLOCK,)
     tri_space = pltpu.ANY if hbm else pltpu.VMEM
+    rooted = roots is not None
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # nodes (scalar mem)
+        pl.BlockSpec(memory_space=tri_space),    # tris (full)
+        _vec_spec(), _vec_spec(), _vec_spec(),   # org xyz
+        _vec_spec(), _vec_spec(), _vec_spec(),   # dir xyz
+        _vec_spec(), _vec_spec(),                # tnear, tfar
+    ]
+    args = [nodes.reshape(-1), tris,
+            org[:, 0], org[:, 1], org[:, 2],
+            dirn[:, 0], dirn[:, 1], dirn[:, 2], tnear, tfar]
+    if rooted:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(roots.astype(jnp.int32))
+    n_in = len(in_specs)
 
     out_specs = [_vec_spec(), _vec_spec(), _vec_spec(), _vec_spec()]
     out_shape = [
@@ -398,28 +487,30 @@ def intersect_packet(nodes, tris, org, dirn, tnear, tfar,
         jax.ShapeDtypeStruct((r,), jnp.float32),
         jax.ShapeDtypeStruct((r,), jnp.float32),
     ]
-    kernel = partial(_kernel, max_leaf=max_leaf, hbm=hbm,
-                     use_cull=use_cull, ordered=ordered)
     if debug_counts:
-        out_specs.append(pl.BlockSpec((1, 4), lambda i: (i, 0),
-                                      memory_space=pltpu.SMEM))
+        # whole-array SMEM output, indexed by program id in the kernel
+        # (blocked SMEM outputs must tile to (8, 128), which (1, 4) isn't)
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         out_shape.append(jax.ShapeDtypeStruct((r // BLOCK, 4), jnp.int32))
 
-        def kernel(*refs, _k=partial(_kernel, max_leaf=max_leaf, hbm=hbm,
-                                     use_cull=use_cull, ordered=ordered)):
-            ins, outs = refs[:10], refs[10:]
-            _k(*ins, *outs[:4], *outs[5:], counts_out=outs[4])
+    _k = partial(_kernel, max_leaf=max_leaf, hbm=hbm,
+                 use_cull=use_cull, ordered=ordered)
+
+    def kernel(*refs):
+        ins, rest = refs[:n_in], refs[n_in:]
+        kw = {}
+        if rooted:
+            kw['roots_ref'] = ins[-1]
+            ins = ins[:-1]
+        if debug_counts:
+            kw['counts_out'] = rest[4]
+            rest = rest[:4] + rest[5:]
+        _k(*ins, *rest, **kw)
 
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # nodes (scalar mem)
-            pl.BlockSpec(memory_space=tri_space),    # tris (full)
-            _vec_spec(), _vec_spec(), _vec_spec(),   # org xyz
-            _vec_spec(), _vec_spec(), _vec_spec(),   # dir xyz
-            _vec_spec(), _vec_spec(),                # tnear, tfar
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32),
@@ -428,9 +519,7 @@ def intersect_packet(nodes, tris, org, dirn, tnear, tfar,
                                    jnp.float32),
                         pltpu.SemaphoreType.DMA(())],
         interpret=interpret,
-    )(nodes.reshape(-1), tris,
-      org[:, 0], org[:, 1], org[:, 2],
-      dirn[:, 0], dirn[:, 1], dirn[:, 2], tnear, tfar)
+    )(*args)
     t, tri, u, v = outs[:4]
     if debug_counts:
         return Hit(t, tri, u, v), outs[4]
@@ -462,11 +551,20 @@ def _ray_sort_key(org, dirn, bbox_lo, bbox_hi):
     return (oct_ << jnp.uint32(15)) | m
 
 
-def _sorted_call(fn, n_outs, org, dirn, tnear, tfar, bbox_lo, bbox_hi):
+def _sorted_call(fn, n_outs, org, dirn, tnear, tfar, bbox_lo, bbox_hi,
+                 seg=None):
     """Run fn on octant/Morton-sorted rays; unsort its outputs.  Dead
     rays (tfar <= tnear, the integrator's inactive-lane marker) sort to
-    the very end so they fill all-dead packets that exit immediately."""
-    key = _ray_sort_key(org, dirn, bbox_lo, bbox_hi)
+    the very end so they fill all-dead packets that exit immediately.
+
+    seg: optional (R,) small-int segment id sorted ABOVE the octant bits —
+    NEE batches pass the light index so each packet holds rays converging
+    on ONE light (a thin frustum) instead of an octant-wide mix of
+    destinations (measured: mixed-light packets double the leaf union)."""
+    key = _ray_sort_key(org, dirn, jnp.asarray(bbox_lo),
+                        jnp.asarray(bbox_hi))
+    if seg is not None:
+        key = key | (seg.astype(jnp.uint32) << jnp.uint32(18))
     key = key | ((tfar <= tnear).astype(jnp.uint32) << jnp.uint32(30))
     perm = jnp.argsort(key)
     outs = fn(org[perm], dirn[perm], tnear[perm], tfar[perm])
@@ -501,21 +599,24 @@ def intersect_packet_sorted(nodes, tris, org, dirn, tnear, tfar,
 def occluded_packet_sorted(nodes, tris, org, dirn, tnear, tfar,
                            bbox_lo, bbox_hi, max_leaf: int = 64,
                            interpret: bool = False, hbm: bool = False,
-                           use_cull: bool = True):
-    """Any-hit with wavefront ray binning (see _ray_sort_key)."""
+                           use_cull: bool = True, seg=None):
+    """Any-hit with wavefront ray binning (see _ray_sort_key); seg
+    optionally groups packets by destination light (_sorted_call)."""
     def run(o, d, tn, tf):
         return occluded_packet(nodes, tris, o, d, tn, tf,
                                max_leaf=max_leaf, interpret=interpret,
                                hbm=hbm, use_cull=use_cull)
 
-    return _sorted_call(run, 1, org, dirn, tnear, tfar, bbox_lo, bbox_hi)
+    return _sorted_call(run, 1, org, dirn, tnear, tfar, bbox_lo, bbox_hi,
+                        seg=seg)
 
 
 def _kernel_any(nodes_ref, tris_ref,
                 ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                 tn_ref, tf_ref, occ_out,
                 stack_ref, tri_scratch, dma_sem,
-                max_leaf: int, hbm: bool, use_cull: bool):
+                max_leaf: int, hbm: bool, use_cull: bool,
+                roots_ref=None):
     """Any-hit: unordered traversal pruned against the not-yet-occluded
     mask, terminating as soon as the whole packet is occluded.  occ is
     carried as i32 (Mosaic can't carry i1 vectors through scf loops)."""
@@ -557,7 +658,8 @@ def _kernel_any(nodes_ref, tris_ref,
                            jnp.minimum(jnp.maximum(t0z, t1z), tfar))
         return jnp.any((tmin <= tmax) & unocc)
 
-    stack_ref[0] = 0
+    stack_ref[0] = (0 if roots_ref is None
+                    else roots_ref[pl.program_id(0)])
 
     def cond(state):
         sp, occ, done = state
@@ -647,26 +749,46 @@ def _kernel_any(nodes_ref, tris_ref,
 
 @partial(jax.jit, static_argnames=('max_leaf', 'interpret', 'hbm',
                                    'use_cull'))
-def occluded_packet(nodes, tris, org, dirn, tnear, tfar,
+def occluded_packet(nodes, tris, org, dirn, tnear, tfar, roots=None,
                     max_leaf: int = 64, interpret: bool = False,
                     hbm: bool = False, use_cull: bool = True):
-    """Any-hit packet traversal (early-exit shadow kernel)."""
+    """Any-hit packet traversal (early-exit shadow kernel).  roots as in
+    intersect_packet."""
     r = org.shape[0]
     assert r % BLOCK == 0, f"ray count must be a multiple of {BLOCK}"
     grid = (r // BLOCK,)
     tri_space = pltpu.ANY if hbm else pltpu.VMEM
+    rooted = roots is not None
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # nodes (scalar mem)
+        pl.BlockSpec(memory_space=tri_space),    # tris (full)
+        _vec_spec(), _vec_spec(), _vec_spec(),
+        _vec_spec(), _vec_spec(), _vec_spec(),
+        _vec_spec(), _vec_spec(),
+    ]
+    args = [nodes.reshape(-1), tris,
+            org[:, 0], org[:, 1], org[:, 2],
+            dirn[:, 0], dirn[:, 1], dirn[:, 2], tnear, tfar]
+    if rooted:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(roots.astype(jnp.int32))
+    n_in = len(in_specs)
+    _k = partial(_kernel_any, max_leaf=max_leaf, hbm=hbm,
+                 use_cull=use_cull)
+
+    def kernel(*refs):
+        ins, rest = refs[:n_in], refs[n_in:]
+        kw = {}
+        if rooted:
+            kw['roots_ref'] = ins[-1]
+            ins = ins[:-1]
+        _k(*ins, *rest, **kw)
 
     occ = pl.pallas_call(
-        partial(_kernel_any, max_leaf=max_leaf, hbm=hbm,
-                use_cull=use_cull),
+        kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # nodes (scalar mem)
-            pl.BlockSpec(memory_space=tri_space),    # tris (full)
-            _vec_spec(), _vec_spec(), _vec_spec(),
-            _vec_spec(), _vec_spec(), _vec_spec(),
-            _vec_spec(), _vec_spec(),
-        ],
+        in_specs=in_specs,
         out_specs=_vec_spec(),
         out_shape=jax.ShapeDtypeStruct((r,), jnp.int32),
         scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32),
@@ -674,10 +796,474 @@ def occluded_packet(nodes, tris, org, dirn, tnear, tfar,
                                    jnp.float32),
                         pltpu.SemaphoreType.DMA(())],
         interpret=interpret,
-    )(nodes.reshape(-1), tris,
-      org[:, 0], org[:, 1], org[:, 2],
-      dirn[:, 0], dirn[:, 1], dirn[:, 2], tnear, tfar)
+    )(*args)
     return occ != 0
+
+
+# ---------------------------------------------------------------------------
+# Staged-t wavefront traversal.
+#
+# Measured on v5e (scripts/profile_phases.py, 92k-tri colonnade): an
+# incoherent sorted packet pops ~10% of the tree but spends ~70% of its
+# cycles on leaf triangle rows (949 rows/packet vs 23 for camera rays),
+# and pop-culling never fires because one unresolved ray pins the packet
+# bound at infinity.  Capping the segment fixes both at once: stage k
+# traverses [D_{k-1}, D_k], so the packet's node/leaf union shrinks to a
+# shell around the origins, and a closest hit found inside a cap is the
+# global closest (any farther hit has larger t).  Rays that resolve in an
+# early stage go dead (tfar = -1) for the rest, and all-dead packets exit
+# in O(1), so later stages cost ~(surviving fraction).  In an enclosed
+# scene most diffuse bounce rays hit within a small fraction of the scene
+# diagonal, making stage 1 cheap and dominant.  One Morton/octant sort up
+# front; stages reuse the SAME compiled kernel (per-ray tnear/tfar are
+# runtime inputs).
+# ---------------------------------------------------------------------------
+
+
+def _staged_caps(bbox_lo, bbox_hi, stages):
+    import math
+    diag = math.sqrt(sum((h - l) ** 2
+                         for l, h in zip(bbox_lo, bbox_hi)))
+    return [diag * s for s in stages]
+
+
+@partial(jax.jit, static_argnames=('bbox_lo', 'bbox_hi', 'max_leaf',
+                                   'interpret', 'hbm', 'use_cull',
+                                   'stages'))
+def intersect_packet_staged(nodes, tris, org, dirn, tnear, tfar,
+                            bbox_lo, bbox_hi, max_leaf: int = 64,
+                            interpret: bool = False, hbm: bool = False,
+                            use_cull: bool = True,
+                            stages=(0.07, 0.3)) -> Hit:
+    """Exact closest-hit: octant/Morton sort once, then staged-t segment
+    traversal (see block comment).  stages are fractions of the scene
+    diagonal; a final uncapped stage always runs."""
+    caps = _staged_caps(bbox_lo, bbox_hi, stages) + [None]
+
+    def run(o, d, tn, tf):
+        best = Hit(jnp.full_like(tn, INF),
+                   jnp.full(tn.shape, -1, jnp.int32),
+                   jnp.zeros_like(tn), jnp.zeros_like(tn))
+        lo_t = tn
+        for cap in caps:
+            live = (best.tri < 0) & (tf > lo_t)
+            tf_k = jnp.where(
+                live, tf if cap is None else jnp.minimum(tf, cap), -1.0)
+            h = intersect_packet(nodes, tris, o, d, lo_t, tf_k,
+                                 max_leaf=max_leaf, interpret=interpret,
+                                 hbm=hbm, use_cull=use_cull)
+            upd = live & (h.tri >= 0)
+            best = Hit(jnp.where(upd, h.t, best.t),
+                       jnp.where(upd, h.tri, best.tri),
+                       jnp.where(upd, h.u, best.u),
+                       jnp.where(upd, h.v, best.v))
+            if cap is not None:
+                # overlap the boundary slightly so a hit exactly at the
+                # cap cannot fall between stages
+                lo_t = jnp.where(live, cap * (1.0 - 1e-5), lo_t)
+        return best.t, best.tri, best.u, best.v
+
+    t, tri, u, v = _sorted_call(run, 4, org, dirn, tnear, tfar,
+                                bbox_lo, bbox_hi)
+    return Hit(t, tri, u, v)
+
+
+@partial(jax.jit, static_argnames=('bbox_lo', 'bbox_hi', 'max_leaf',
+                                   'interpret', 'hbm', 'use_cull',
+                                   'stages'))
+def occluded_packet_staged(nodes, tris, org, dirn, tnear, tfar,
+                           bbox_lo, bbox_hi, max_leaf: int = 64,
+                           interpret: bool = False, hbm: bool = False,
+                           use_cull: bool = True,
+                           stages=(0.07, 0.3)):
+    """Exact any-hit via staged-t segments: blockers are usually near the
+    shaded point, so stage 1 resolves most occluded rays with a tiny
+    union, and resolved rays go dead for later stages."""
+    caps = _staged_caps(bbox_lo, bbox_hi, stages) + [None]
+
+    def run(o, d, tn, tf):
+        occ = jnp.zeros(tn.shape, bool)
+        lo_t = tn
+        for cap in caps:
+            live = ~occ & (tf > lo_t)
+            tf_k = jnp.where(
+                live, tf if cap is None else jnp.minimum(tf, cap), -1.0)
+            occ = occ | occluded_packet(nodes, tris, o, d, lo_t, tf_k,
+                                        max_leaf=max_leaf,
+                                        interpret=interpret, hbm=hbm,
+                                        use_cull=use_cull)
+            if cap is not None:
+                lo_t = jnp.where(live, cap * (1.0 - 1e-5), lo_t)
+        return occ
+
+    return _sorted_call(run, 1, org, dirn, tnear, tfar, bbox_lo, bbox_hi)
+
+
+# ---------------------------------------------------------------------------
+# Treelet-binned wavefront traversal.
+#
+# Sorted shared-stack packets cap out at ~1.5-2 Mrps for bounce>=1 rays:
+# 1024 incoherent rays' node-visit UNION spans most of the tree no matter
+# how they are key-sorted (measured: octant/Morton key variants all land
+# within 10%).  The fix is structural — assign each ray to its nearest
+# candidate *treelet* (a subtree from treelet_cut), group rays by treelet
+# (segment-padded so every packet has ONE treelet), and traverse each
+# packet from its treelet root.  A packet then only walks a ~1/T slice of
+# the tree, restoring the union locality that makes coherent packets
+# fast.  Remaining candidate treelets (entry distance < running t_best)
+# are handled by further rounds and a final bounded fallback pass, so
+# results are exact — bit-identical to intersect_packet.
+#
+# This is the TPU analog of ray-stream/treelet schedulers (Embree's
+# rtcIntersect1M stream mode; the reference's single-ray recursion never
+# needed it because a CPU core has no 1024-wide SIMD to keep coherent).
+# ---------------------------------------------------------------------------
+
+
+def _mask_words(n_treelets: int) -> int:
+    return (n_treelets + 31) // 32
+
+
+def _mark_processed(processed, sel, has):
+    """Set bit `sel` in the (R, W) uint32 visited-treelet mask."""
+    w = processed.shape[1]
+    word = jnp.clip(sel, 0, 32 * w - 1) // 32
+    bit = jnp.uint32(1) << (jnp.clip(sel, 0, 32 * w - 1) % 32
+                            ).astype(jnp.uint32)
+    upd = jnp.where(has[:, None] & (word[:, None] == jnp.arange(w)),
+                    bit[:, None], jnp.uint32(0))
+    return processed | upd
+
+
+def _treelet_assign(boxes, org, dirn, tnear, tfar, processed):
+    """Nearest unprocessed candidate treelet per ray.
+
+    boxes: (T, 6) [lo|hi]; processed: (R, W) uint32 bitmask of visited
+    treelets (W = ceil(T/32)).  Returns (sel (R,) i32, has (R,) bool):
+    the treelet with the smallest slab entry distance among {unprocessed,
+    entered before tfar}.  Python-unrolled over T (static, <= 128) so no
+    (R, T) temporary materializes."""
+    inv = 1.0 / jnp.where(jnp.abs(dirn) > 1e-30, dirn,
+                          jnp.where(dirn >= 0, 1e-30, -1e-30))
+    best_t = jnp.full(org.shape[:1], INF)
+    sel = jnp.full(org.shape[:1], -1, jnp.int32)
+    for t in range(boxes.shape[0]):
+        t0 = (boxes[t, 0:3] - org) * inv
+        t1 = (boxes[t, 3:6] - org) * inv
+        tmin = jnp.maximum(jnp.max(jnp.minimum(t0, t1), axis=-1), tnear)
+        tmax = jnp.minimum(jnp.min(jnp.maximum(t0, t1), axis=-1), tfar)
+        ok = ((tmin <= tmax)
+              & ((processed[:, t // 32] & jnp.uint32(1 << (t % 32))) == 0)
+              & (tmin < best_t))
+        best_t = jnp.where(ok, tmin, best_t)
+        sel = jnp.where(ok, t, sel)
+    return sel, sel >= 0
+
+
+def _binned_layout(sel, has, org, dirn, tnear, tfar, n_treelets: int,
+                   bbox_lo, bbox_hi, block: int = BLOCK):
+    """Group rays by treelet into block-aligned segments.
+
+    Returns (perm, slot, org_p, dirn_p, tn_p, tf_p, seg_offs) where the
+    _p arrays have static capacity R + T*block (+1 dump row); rays the
+    round does not process land in the dump row; padding lanes carry
+    tfar=-1 (the kernels' dead marker).  Within a treelet segment rays
+    keep octant/Morton order (the intra-treelet coherence key)."""
+    r = sel.shape[0]
+    t_cnt = n_treelets
+    cap = r + t_cnt * block
+    key = _ray_sort_key(org, dirn, jnp.asarray(bbox_lo),
+                        jnp.asarray(bbox_hi))
+    k = (jnp.where(has, sel.astype(jnp.uint32), jnp.uint32(t_cnt))
+         << jnp.uint32(18)) | (key & jnp.uint32(0x3FFFF))
+    perm = jnp.argsort(k)
+    sel_s = sel[perm]
+    has_s = has[perm]
+    cnt = jnp.bincount(jnp.where(has, sel, t_cnt), length=t_cnt + 1)[:t_cnt]
+    pad_cnt = (cnt + block - 1) // block * block
+    seg_offs = jnp.concatenate([jnp.zeros((1,), cnt.dtype),
+                                jnp.cumsum(pad_cnt)])
+    seg_start = jnp.concatenate([jnp.zeros((1,), cnt.dtype),
+                                 jnp.cumsum(cnt)])
+    rank = jnp.arange(r) - seg_start[jnp.clip(sel_s, 0, t_cnt - 1)]
+    slot = jnp.where(has_s, seg_offs[jnp.clip(sel_s, 0, t_cnt - 1)] + rank,
+                     cap)
+
+    def scatter(x, fill):
+        buf = jnp.full((cap + 1,) + x.shape[1:], fill, x.dtype)
+        return buf.at[slot].set(x[perm])[:cap]
+
+    org_p = scatter(org, 0.0)
+    dirn_p = scatter(dirn, 1.0)
+    tn_p = scatter(tnear, 0.0)
+    tf_p = scatter(tfar, -1.0)           # padding lanes are dead
+    return perm, slot, org_p, dirn_p, tn_p, tf_p, seg_offs
+
+
+def _packet_roots(seg_offs, roots, cap: int):
+    """Treelet root per BLOCK packet from the segment offsets."""
+    starts = jnp.arange(0, cap, BLOCK)
+    tid = jnp.clip(jnp.searchsorted(seg_offs[1:], starts, side='right'),
+                   0, roots.shape[0] - 1)
+    return roots[tid]
+
+
+@partial(jax.jit, static_argnames=('bbox_lo', 'bbox_hi', 'max_leaf',
+                                   'interpret', 'hbm', 'use_cull',
+                                   'rounds'))
+def intersect_packet_binned(nodes, tris, troots, tboxes, org, dirn,
+                            tnear, tfar, bbox_lo, bbox_hi,
+                            max_leaf: int = 64, interpret: bool = False,
+                            hbm: bool = False, use_cull: bool = True,
+                            rounds: int = 2) -> Hit:
+    """Exact closest-hit via treelet-binned rounds + bounded fallback.
+
+    troots/tboxes from treelet_cut.  Each round: every live ray visits its
+    nearest remaining candidate treelet (entry distance < running best t),
+    grouped so each packet traverses ONE treelet.  Rays whose candidates
+    are exhausted go inactive; whatever still has candidates after the
+    static `rounds` is finished by one global-root pass bounded by the
+    running best t (cheap: pop culling sees a tight t from the start)."""
+    r = org.shape[0]
+    t_cnt = troots.shape[0]
+    cap = r + t_cnt * BLOCK
+    processed = jnp.zeros((r, _mask_words(t_cnt)), jnp.uint32)
+    best = Hit(jnp.full((r,), INF), jnp.full((r,), -1, jnp.int32),
+               jnp.zeros((r,)), jnp.zeros((r,)))
+
+    for _ in range(rounds):
+        bound = jnp.minimum(tfar, best.t)
+        sel, has = _treelet_assign(tboxes, org, dirn, tnear, bound,
+                                   processed)
+        processed = _mark_processed(processed, sel, has)
+        perm, slot, org_p, dirn_p, tn_p, tf_p, seg_offs = _binned_layout(
+            sel, has, org, dirn, tnear, bound, t_cnt, bbox_lo, bbox_hi)
+        roots = _packet_roots(seg_offs, troots, cap)
+        h = intersect_packet(nodes, tris, org_p, dirn_p, tn_p, tf_p,
+                             roots=roots, max_leaf=max_leaf,
+                             interpret=interpret, hbm=hbm,
+                             use_cull=use_cull)
+        # gather this round's results back to original ray order
+        take = jnp.minimum(slot, cap - 1)
+        t_s = jnp.where(slot < cap, h.t[take], INF)
+        tri_s = jnp.where(slot < cap, h.tri[take], -1)
+        u_s = jnp.where(slot < cap, h.u[take], 0.0)
+        v_s = jnp.where(slot < cap, h.v[take], 0.0)
+        unperm = jnp.zeros((r,), jnp.int32).at[perm].set(
+            jnp.arange(r, dtype=jnp.int32))
+        t_o, tri_o = t_s[unperm], tri_s[unperm]
+        u_o, v_o = u_s[unperm], v_s[unperm]
+        better = t_o < best.t
+        best = Hit(jnp.where(better, t_o, best.t),
+                   jnp.where(better, tri_o, best.tri),
+                   jnp.where(better, u_o, best.u),
+                   jnp.where(better, v_o, best.v))
+
+    # fallback: any ray still holding a candidate treelet finishes with a
+    # global traversal bounded by its running best t
+    bound = jnp.minimum(tfar, best.t)
+    _, remaining = _treelet_assign(tboxes, org, dirn, tnear, bound,
+                                   processed)
+    tf_fb = jnp.where(remaining, bound, -1.0)
+    h = intersect_packet_sorted(nodes, tris, org, dirn, tnear, tf_fb,
+                                bbox_lo, bbox_hi, max_leaf=max_leaf,
+                                interpret=interpret, hbm=hbm,
+                                use_cull=use_cull)
+    better = h.t < best.t
+    best = Hit(jnp.where(better, h.t, best.t),
+               jnp.where(better, h.tri, best.tri),
+               jnp.where(better, h.u, best.u),
+               jnp.where(better, h.v, best.v))
+    return best
+
+
+@partial(jax.jit, static_argnames=('bbox_lo', 'bbox_hi', 'max_leaf',
+                                   'interpret', 'hbm', 'use_cull',
+                                   'rounds'))
+def occluded_packet_binned(nodes, tris, troots, tboxes, org, dirn,
+                           tnear, tfar, bbox_lo, bbox_hi,
+                           max_leaf: int = 64, interpret: bool = False,
+                           hbm: bool = False, use_cull: bool = True,
+                           rounds: int = 2):
+    """Exact any-hit via treelet-binned rounds + bounded fallback."""
+    r = org.shape[0]
+    t_cnt = troots.shape[0]
+    cap = r + t_cnt * BLOCK
+    processed = jnp.zeros((r, _mask_words(t_cnt)), jnp.uint32)
+    occ = jnp.zeros((r,), bool)
+
+    for _ in range(rounds):
+        live_tf = jnp.where(occ, -1.0, tfar)
+        sel, has = _treelet_assign(tboxes, org, dirn, tnear, live_tf,
+                                   processed)
+        processed = _mark_processed(processed, sel, has)
+        perm, slot, org_p, dirn_p, tn_p, tf_p, seg_offs = _binned_layout(
+            sel, has, org, dirn, tnear, live_tf, t_cnt, bbox_lo, bbox_hi)
+        roots = _packet_roots(seg_offs, troots, cap)
+        o = occluded_packet(nodes, tris, org_p, dirn_p, tn_p, tf_p,
+                            roots=roots, max_leaf=max_leaf,
+                            interpret=interpret, hbm=hbm,
+                            use_cull=use_cull)
+        take = jnp.minimum(slot, cap - 1)
+        o_s = jnp.where(slot < cap, o[take], False)
+        unperm = jnp.zeros((r,), jnp.int32).at[perm].set(
+            jnp.arange(r, dtype=jnp.int32))
+        occ = occ | o_s[unperm]
+
+    live_tf = jnp.where(occ, -1.0, tfar)
+    _, remaining = _treelet_assign(tboxes, org, dirn, tnear, live_tf,
+                                   processed)
+    tf_fb = jnp.where(remaining, live_tf, -1.0)
+    occ = occ | occluded_packet_sorted(nodes, tris, org, dirn, tnear,
+                                       tf_fb, bbox_lo, bbox_hi,
+                                       max_leaf=max_leaf,
+                                       interpret=interpret, hbm=hbm,
+                                       use_cull=use_cull)
+    return occ
+
+
+# ---------------------------------------------------------------------------
+# Treelet-binned DENSE wavefront traversal — the incoherent-ray fast path.
+#
+# Profiling (scripts/profile_phases.py, 92k-tri colonnade on v5e) showed
+# incoherent sorted packets are limited by the leaf-union problem: 1024
+# omnidirectional rays share one traversal, so every packet tests ~35x
+# more triangle rows than any single ray needs, and the stack kernel's
+# row-broadcast layout caps pair-test throughput at ~15-20 Gpairs/s.
+# Grouping tricks (treelet-rooted stack packets, staged-t, light-seg
+# keys) all measured neutral-or-worse because the underlying pair rate
+# is the bound.
+#
+# This path changes the bound instead of the grouping: rays are binned
+# to their nearest candidate treelet (as above), and each 64-ray program
+# DENSELY sweeps its treelet's contiguous triangle-tile range with the
+# outer-product pairs kernel (ops/pallas_pairs.py, rays-in-sublanes x
+# tris-in-lanes — ~4-6x the pair rate).  No stack, no divergence, no
+# shuffles: a treelet of ~1-2k triangles costs what the stack kernel
+# paid in waste anyway, at a far higher sustained rate.  Rounds +
+# bounded global fallback keep it exact (bit-identical to
+# intersect_packet), same as the packet-binned variant above.
+# ---------------------------------------------------------------------------
+
+
+def _dense_ranges(seg_offs, tgs, tge, cap: int, block: int):
+    """Per-program [gs, ge) tri-tile range from the segment offsets.
+    Programs past the last segment (dump/padding region) get an empty
+    range."""
+    starts = jnp.arange(0, cap, block)
+    tid = jnp.clip(jnp.searchsorted(seg_offs[1:], starts, side='right'),
+                   0, tgs.shape[0] - 1)
+    inside = starts < seg_offs[-1]
+    gs = jnp.where(inside, tgs[tid], 0)
+    ge = jnp.where(inside, tge[tid], 0)
+    return gs.astype(jnp.int32), ge.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=('bbox_lo', 'bbox_hi', 'max_leaf',
+                                   'interpret', 'hbm', 'use_cull',
+                                   'rounds', 'rt'))
+def intersect_dense_binned(nodes, tris, planes, rows, tboxes, tgs, tge,
+                           org, dirn, tnear, tfar, bbox_lo, bbox_hi,
+                           max_leaf: int = 64, interpret: bool = False,
+                           hbm: bool = False, use_cull: bool = True,
+                           rounds: int = 2, rt: int = 8) -> Hit:
+    """Exact closest-hit: treelet-binned dense sweeps + bounded fallback.
+
+    planes/rows from pallas_pairs.pack_planes; tgs/tge from
+    treelet_tri_tiles; nodes/tris feed the stack-kernel fallback pass."""
+    from . import pallas_pairs as ppp
+    r = org.shape[0]
+    t_cnt = tboxes.shape[0]
+    block = ppp.RB * rt
+    cap = r + t_cnt * block
+    processed = jnp.zeros((r, _mask_words(t_cnt)), jnp.uint32)
+    best = Hit(jnp.full((r,), INF), jnp.full((r,), -1, jnp.int32),
+               jnp.zeros((r,)), jnp.zeros((r,)))
+
+    for _ in range(rounds):
+        bound = jnp.minimum(tfar, best.t)
+        sel, has = _treelet_assign(tboxes, org, dirn, tnear, bound,
+                                   processed)
+        processed = _mark_processed(processed, sel, has)
+        perm, slot, org_p, dirn_p, tn_p, tf_p, seg_offs = _binned_layout(
+            sel, has, org, dirn, tnear, bound, t_cnt, bbox_lo, bbox_hi,
+            block=block)
+        gs, ge = _dense_ranges(seg_offs, tgs, tge, cap, block)
+        t_p, tri_p = ppp.intersect_pairs_raw(
+            planes, org_p, dirn_p, tn_p, tf_p, gs=gs, ge=ge, rt=rt,
+            use_cull=use_cull, interpret=interpret)
+        take = jnp.minimum(slot, cap - 1)
+        t_s = jnp.where(slot < cap, t_p[take], INF)
+        tri_s = jnp.where(slot < cap, tri_p[take], -1)
+        unperm = jnp.zeros((r,), jnp.int32).at[perm].set(
+            jnp.arange(r, dtype=jnp.int32))
+        t_o, tri_o = t_s[unperm], tri_s[unperm]
+        better = t_o < best.t
+        best = Hit(jnp.where(better, t_o, best.t),
+                   jnp.where(better, tri_o, best.tri), best.u, best.v)
+
+    bound = jnp.minimum(tfar, best.t)
+    _, remaining = _treelet_assign(tboxes, org, dirn, tnear, bound,
+                                   processed)
+    tf_fb = jnp.where(remaining, bound, -1.0)
+    h = intersect_packet_sorted(nodes, tris, org, dirn, tnear, tf_fb,
+                                bbox_lo, bbox_hi, max_leaf=max_leaf,
+                                interpret=interpret, hbm=hbm,
+                                use_cull=use_cull)
+    better = h.t < best.t
+    t = jnp.where(better, h.t, best.t)
+    tri = jnp.where(better, h.tri, best.tri)
+    # u/v once, for the final winner (cheaper than carrying them
+    # through every round)
+    u, v = ppp.recompute_uv(rows, org, dirn, t, tri)
+    return Hit(t, tri, u, v)
+
+
+@partial(jax.jit, static_argnames=('bbox_lo', 'bbox_hi', 'max_leaf',
+                                   'interpret', 'hbm', 'use_cull',
+                                   'rounds', 'rt'))
+def occluded_dense_binned(nodes, tris, planes, tboxes, tgs, tge,
+                          org, dirn, tnear, tfar, bbox_lo, bbox_hi,
+                          max_leaf: int = 64, interpret: bool = False,
+                          hbm: bool = False, use_cull: bool = True,
+                          rounds: int = 2, rt: int = 8):
+    """Exact any-hit: treelet-binned dense sweeps + bounded fallback."""
+    from . import pallas_pairs as ppp
+    r = org.shape[0]
+    t_cnt = tboxes.shape[0]
+    block = ppp.RB * rt
+    cap = r + t_cnt * block
+    processed = jnp.zeros((r, _mask_words(t_cnt)), jnp.uint32)
+    occ = jnp.zeros((r,), bool)
+
+    for _ in range(rounds):
+        live_tf = jnp.where(occ, -1.0, tfar)
+        sel, has = _treelet_assign(tboxes, org, dirn, tnear, live_tf,
+                                   processed)
+        processed = _mark_processed(processed, sel, has)
+        perm, slot, org_p, dirn_p, tn_p, tf_p, seg_offs = _binned_layout(
+            sel, has, org, dirn, tnear, live_tf, t_cnt, bbox_lo, bbox_hi,
+            block=block)
+        gs, ge = _dense_ranges(seg_offs, tgs, tge, cap, block)
+        o = ppp.occluded_pairs(planes, org_p, dirn_p, tn_p, tf_p,
+                               gs=gs, ge=ge, rt=rt, use_cull=use_cull,
+                               interpret=interpret)
+        take = jnp.minimum(slot, cap - 1)
+        o_s = jnp.where(slot < cap, o[take], False)
+        unperm = jnp.zeros((r,), jnp.int32).at[perm].set(
+            jnp.arange(r, dtype=jnp.int32))
+        occ = occ | o_s[unperm]
+
+    live_tf = jnp.where(occ, -1.0, tfar)
+    _, remaining = _treelet_assign(tboxes, org, dirn, tnear, live_tf,
+                                   processed)
+    tf_fb = jnp.where(remaining, live_tf, -1.0)
+    occ = occ | occluded_packet_sorted(nodes, tris, org, dirn, tnear,
+                                       tf_fb, bbox_lo, bbox_hi,
+                                       max_leaf=max_leaf,
+                                       interpret=interpret, hbm=hbm,
+                                       use_cull=use_cull)
+    return occ
 
 
 # ---------------------------------------------------------------------------

@@ -150,10 +150,27 @@ class SceneBuilder:
             tris = ppt.pack_tris(host['woop'], host,
                                  pad_rows=ppt._hbm_window(leaf_size))
             packet_hbm = tris.nbytes > TRIS_VMEM_LIMIT_BYTES
+            nodes_np = ppt.pack_nodes(tree)
+            # treelet cut for the binned incoherent-wavefront paths
+            # (bounce>=1 rays; see ops/pallas_traverse.py)
+            troots, tboxes = ppt.treelet_cut(nodes_np, max_treelets=64)
             packet = {
-                'nodes': jnp.asarray(ppt.pack_nodes(tree)),
+                'nodes': jnp.asarray(nodes_np),
                 'tris': jnp.asarray(tris),
+                'treelet_roots': jnp.asarray(troots),
+                'treelet_boxes': jnp.asarray(tboxes),
             }
+            # transposed planes for the treelet-binned DENSE sweep (the
+            # incoherent fast path, ops/pallas_pairs.py) — VMEM-resident
+            # only; HBM-sized scenes keep the packet/stack path
+            from .ops import pallas_pairs as ppp
+            planes, prows = ppp.pack_planes(host['woop'], host)
+            if planes.nbytes <= TRIS_VMEM_LIMIT_BYTES:
+                tgs, tge = ppt.treelet_tri_tiles(nodes_np, troots)
+                packet['planes'] = jnp.asarray(planes)
+                packet['planes_rows'] = jnp.asarray(prows)
+                packet['treelet_tile_lo'] = jnp.asarray(tgs)
+                packet['treelet_tile_hi'] = jnp.asarray(tge)
         elif not has_motion:
             # dense Pallas intersector (no BVH): just the packed tri rows
             packet = {
