@@ -31,6 +31,41 @@ def test_cornell_matches_pinned_golden():
     assert _psnr(img, golden) > 60.0
 
 
+def test_sphere_glass_matches_pinned_golden():
+    """Dielectric/medium golden (glass sphere + textured floor + dome):
+    pins refraction, Beer-law media and texture filtering."""
+    scene = builtin_scenes.sphere_glass().commit()
+    cam = builtin_scenes.sphere_glass_camera(64, 64)
+    film, _ = renderer.render_frame(scene, cam, pt.PTParams(max_depth=8),
+                                    64, 64, spp=32, seed=42)
+    img = np.asarray(accum.resolve(film))
+    golden = np.load(os.path.join(os.path.dirname(GOLDEN),
+                                  'sphere_glass_64_cpu.npz'))['img']
+    assert _psnr(img, golden) > 60.0
+
+
+def test_sample_major_batching_matches_per_sample():
+    """The renderer's sample-major wavefront batching (duplicated pixel
+    ids + scatter-add, renderer.py) must produce the same estimate as
+    per-sample passes: every (pixel, sample) pair contributes exactly
+    once.  Catches chunk-stride bugs (silent under-sampling)."""
+    scene = builtin_scenes.cornell_box().commit(force_bvh=True)
+    assert scene.bvh is not None
+    cam = builtin_scenes.cornell_camera(32, 32)
+    p = pt.PTParams(max_depth=3)
+    npix = 32 * 32
+    base, _ = renderer.render_frame(scene, cam, p, 32, 32, spp=4,
+                                    seed=7, max_rays_per_pass=npix,
+                                    spp_per_pass_cap=1)
+    batched, _ = renderer.render_frame(scene, cam, p, 32, 32, spp=4,
+                                       seed=7,
+                                       max_rays_per_pass=4 * npix,
+                                       spp_per_pass_cap=1)
+    a = np.asarray(accum.resolve(base))
+    b = np.asarray(accum.resolve(batched))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
 def test_different_seed_converges_to_same_image():
     """Two independent estimators agree within Monte-Carlo noise — the
     PSNR-style parity gate of BASELINE.md applied CPU-vs-CPU."""

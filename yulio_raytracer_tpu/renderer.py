@@ -136,7 +136,7 @@ def render_frame(scene, camera, params, width: int, height: int, spp: int,
             # spp-4-folded depth-10 dispatch crashes the worker; the
             # same work split into per-sample passes completes).
             max_rays_per_pass = max(1 << 18,
-                                    (1 << 22) // max(params.max_depth, 1))
+                                    (1 << 23) // max(params.max_depth, 1))
             # MUST stay a multiple of the Pallas packet BLOCK (1024):
             # a non-multiple silently falls back to the XLA gather path,
             # whose one dispatch runs minutes and trips the watchdog
@@ -156,10 +156,22 @@ def render_frame(scene, camera, params, width: int, height: int, spp: int,
 
     pix_per_pass = max(min(npix, max_rays_per_pass), 1)
     n_splits = (npix + pix_per_pass - 1) // pix_per_pass
+    # sample-major batching (BVH path): when the whole frame fits in one
+    # pass with room to spare, fold several SAMPLES of every pixel into
+    # one ray batch instead of dispatching per sample.  A 2x-wider sorted
+    # wavefront halves each packet's Morton cell (tighter unions for the
+    # incoherent bounce/shadow kernels) and halves dispatch+sort count.
+    # k must divide spp so every batch keeps one compiled shape.
+    samples_per_batch = 1
+    if scene.bvh is not None and n_splits == 1 and spp > 1:
+        samples_per_batch = max(1, min(spp, max_rays_per_pass // npix))
+        while spp % samples_per_batch:
+            samples_per_batch -= 1
     # spp folding costs no extra memory (the scan reuses one sample's
     # buffers), it only amortizes dispatch overhead
     spp_per_pass = max(min(spp, spp_per_pass_cap), 1)
-    n_spp_chunks = (spp + spp_per_pass - 1) // spp_per_pass
+    n_spp_chunks = (spp + spp_per_pass * samples_per_batch - 1) \
+        // (spp_per_pass * samples_per_batch)
     work = [(c, k) for c in range(n_spp_chunks) for k in range(n_splits)]
     order = _tile_order(width, height)
     for wi, (c, k) in enumerate(work):
@@ -170,18 +182,36 @@ def render_frame(scene, camera, params, width: int, height: int, spp: int,
         count = hi - lo
         # pad the ragged tail to keep one compiled shape
         sel = lo + (np.arange(pix_per_pass, dtype=np.int64) % max(count, 1))
-        pixel_ids = jnp.asarray(order[sel])
-        s0 = c * spp_per_pass
-        nsamp = min(spp_per_pass, spp - s0)
-        sample0 = jnp.full((pix_per_pass,),
-                           np.uint32(iteration * spp + s0))
+        s0 = c * spp_per_pass * samples_per_batch
+        if samples_per_batch > 1:
+            # duplicate every pixel samples_per_batch times; duplicate k
+            # folds samples [s0 + k*nsamp, s0 + (k+1)*nsamp) so the
+            # chunk covers nsamp*samples_per_batch distinct sample ids
+            # per pixel, each exactly once (count == pix_per_pass here:
+            # n_splits == 1, and samples_per_batch divides spp)
+            nsamp = min(spp_per_pass, (spp - s0) // samples_per_batch)
+            pixel_ids = jnp.asarray(np.tile(order[sel],
+                                            samples_per_batch))
+            sample0 = jnp.asarray(np.repeat(
+                np.uint32(iteration * spp + s0)
+                + np.arange(samples_per_batch, dtype=np.uint32) * nsamp,
+                pix_per_pass))
+        else:
+            nsamp = min(spp_per_pass, spp - s0)
+            pixel_ids = jnp.asarray(order[sel])
+            sample0 = jnp.full((pix_per_pass,),
+                               np.uint32(iteration * spp + s0))
         rgb, nrays = _render_chunk(scene, camera, params, width, height,
                                    spp, pixel_ids, sample0,
                                    np.uint32(seed), backplate,
                                    spp_per_pass=nsamp,
                                    pixel_filter=pixel_filter)
-        # scatter back by pixel id (rays run in tiled order)
-        rgb_flat = rgb_flat.at[pixel_ids[:count]].add(rgb[:count])
+        # scatter back by pixel id (rays run in tiled order; duplicated
+        # ids from sample-major batches accumulate via scatter-add)
+        if samples_per_batch > 1:
+            rgb_flat = rgb_flat.at[pixel_ids].add(rgb)
+        else:
+            rgb_flat = rgb_flat.at[pixel_ids[:count]].add(rgb[:count])
         # bound the queued device stream: minute-long uninterrupted
         # streams crash the TPU runtime's watchdog (observed on v5e).
         # BVH-path passes run seconds each -> sync every pass (the sync
