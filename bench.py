@@ -30,6 +30,8 @@ def bench_tpu_psnr():
     render (assets/golden/cornell_64_cpu.npz, seed 42, 32 spp).  The
     BASELINE.md acceptance metric demands >= 40 dB."""
     import os
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/root/.cache/jax_comp")
     import numpy as np
     from yulio_raytracer_tpu.io import builtin_scenes
     from yulio_raytracer_tpu.integrator import pathtracer as pt
@@ -137,14 +139,44 @@ def bench_stereo_face():
     return "stereo_face_1536_mrps", stats
 
 
+def bench_tpu_psnr_glass():
+    """Same hardware-parity gate on the dielectric/medium golden scene
+    (glass sphere + textured floor + ambient dome — the reference's
+    models/sphere_glass.xml structure): exercises refraction, Beer-law
+    media and texture filtering on the live device."""
+    import os
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/root/.cache/jax_comp")
+    import numpy as np
+    from yulio_raytracer_tpu.io import builtin_scenes
+    from yulio_raytracer_tpu.integrator import pathtracer as pt
+    from yulio_raytracer_tpu import renderer
+    from yulio_raytracer_tpu.film import accum
+
+    golden = np.load(os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), 'assets', 'golden',
+        'sphere_glass_64_cpu.npz'))['img']
+    scene = builtin_scenes.sphere_glass().commit()
+    cam = builtin_scenes.sphere_glass_camera(64, 64)
+    film, _ = renderer.render_frame(scene, cam, pt.PTParams(max_depth=8),
+                                    64, 64, spp=32, seed=42)
+    img = np.asarray(accum.resolve(film))
+    mse = float(((img - golden) ** 2).mean())
+    return 10.0 * np.log10(max(float(golden.max()), 1e-9) ** 2
+                           / max(mse, 1e-20))
+
+
 def main():
-    psnr = bench_tpu_psnr()
-    print(json.dumps({
-        "metric": "cornell_tpu_vs_cpu_psnr",
-        "value": round(psnr, 2),
-        "unit": "dB",
-        "vs_baseline": round(psnr / PSNR_TARGET_DB, 4),
-    }), flush=True)
+    for name, fn in (("cornell_tpu_vs_cpu_psnr", bench_tpu_psnr),
+                     ("sphere_glass_tpu_vs_cpu_psnr",
+                      bench_tpu_psnr_glass)):
+        psnr = fn()
+        print(json.dumps({
+            "metric": name,
+            "value": round(psnr, 2),
+            "unit": "dB",
+            "vs_baseline": round(psnr / PSNR_TARGET_DB, 4),
+        }), flush=True)
     for fn in (bench_cornell, bench_colonnade_traversal,
                bench_stereo_face, bench_colonnade):
         metric, stats = fn()

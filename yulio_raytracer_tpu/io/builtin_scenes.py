@@ -100,6 +100,31 @@ def cornell_camera(width: int = 512, height: int = 512):
     return cam.Pinhole(l2w, angle=37.0, aspect=width / height)
 
 
+def sphere_glass() -> SceneBuilder:
+    """The sphere_glass golden scene (glass sphere over textured floor +
+    ambient dome — assets/scenes/sphere_glass.xml, the structure of the
+    reference's models/sphere_glass.xml): the dielectric/medium parity
+    scene for the TPU-vs-CPU PSNR gate."""
+    import os
+    from . import ecs
+    assets = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), 'assets', 'scenes')
+    settings = ecs.RenderSettings()
+    sb = SceneBuilder()
+    ecs.load_scene_file(os.path.join(assets, 'sphere_glass.xml'),
+                        settings, sb)
+    return sb
+
+
+def sphere_glass_camera(width: int = 512, height: int = 512):
+    """The reference's canonical sphere_glass viewpoint
+    (models/sphere_view.ecs: vp -200 100 200, vi 0 100 200, fov 90)."""
+    from ..cameras import cameras as cam
+    l2w = cam.look_at((-200.0, 100.0, 200.0), (0.0, 100.0, 200.0),
+                      (0.0, 1.0, 0.0))
+    return cam.Pinhole(l2w, angle=90.0, aspect=width / height)
+
+
 def colonnade(cols_x: int = 8, cols_z: int = 4, tess=(16, 24),
               clutter: int = 24, seed: int = 7) -> SceneBuilder:
     """Sponza stand-in: an enclosed hall with a grid of sphere columns and
