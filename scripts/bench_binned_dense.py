@@ -106,9 +106,26 @@ def main():
             nodes, tris, planes, rows, tboxes, tgs, tge, o, d, t0_, t1_,
             rounds=rounds, rt=args.rt, **skw)
 
+    from yulio_raytracer_tpu.ops import grid as gridm
+    from yulio_raytracer_tpu.scene import GRID_RES
+    gd = pk.get('grid')
+
+    def grid_hit(o, d, t0_, t1_, rounds):
+        return gridm.intersect_grid(gd, nodes, tris, o, d, t0_, t1_,
+                                    res=GRID_RES, rounds=rounds,
+                                    rt=args.rt, **skw)
+
     base1 = timeit("bounce-1 closest sorted", lambda:
                    ppt.intersect_packet_sorted(nodes, tris, o1, d1, tn,
                                                tf1, **skw), n)
+    if gd is not None:
+        for rounds in (4, 8, 12):
+            got = timeit("bounce-1 closest GRID r%d" % rounds,
+                         lambda rounds=rounds: grid_hit(o1, d1, tn, tf1,
+                                                        rounds), n)
+            neq = int((np.asarray(got.tri) != np.asarray(base1.tri))
+                      .sum())
+            print("   mismatches:", neq)
     for rounds in (1, 2, 3):
         got = timeit("bounce-1 closest dense-binned r%d" % rounds,
                      lambda rounds=rounds: binned(o1, d1, tn, tf1,
@@ -159,6 +176,15 @@ def main():
     obase = timeit("shadow@b1 any-hit sorted", lambda:
                    ppt.occluded_packet_sorted(nodes, tris, so, sd, stn,
                                               stf, **skw), ns_rays)
+    if gd is not None:
+        for rounds in (2, 4):
+            og = timeit("shadow@b1 any-hit GRID r%d" % rounds,
+                        lambda rounds=rounds: gridm.occluded_grid(
+                            gd, nodes, tris, so, sd, stn, stf,
+                            res=GRID_RES, rounds=rounds, rt=args.rt,
+                            **skw), ns_rays)
+            neq = int((np.asarray(og) != np.asarray(obase)).sum())
+            print("   mismatches:", neq)
     for rounds in (1, 2):
         og = timeit("shadow@b1 any-hit dense-binned r%d" % rounds,
                     lambda rounds=rounds: ppt.occluded_dense_binned(

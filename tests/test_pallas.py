@@ -253,6 +253,40 @@ def _planes(geom):
     return jnp.asarray(planes), jnp.asarray(rows)
 
 
+def test_precomputed_perm_matches_sorted():
+    """occluded_packet_sorted(perm=...) — the integrator's shared
+    hit-point sort for NEE shadow batches — must agree with the
+    key-sorted call and the unsorted kernel."""
+    nodes, tris, geom, _ = _build([
+        primitives.tessellate_sphere([0, 0, 0], 1.0, 12, 16),
+        primitives.quad([-5, -1.2, -5], [5, -1.2, -5], [5, -1.2, 5],
+                        [-5, -1.2, 5]),
+    ])
+    rs = np.random.RandomState(9)
+    R = ppt.BLOCK
+    r0 = R // 2                   # r0 hit points, 2 "lights"
+    p = jnp.asarray(rs.randn(r0, 3).astype(np.float32) * 2)
+    org = jnp.tile(p, (2, 1))
+    d = rs.randn(R, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    tn = jnp.full((R,), 1e-4)
+    tf = jnp.full((R,), 3.0).at[::7].set(-1.0)
+    bb_lo = tuple(np.asarray(jnp.min(geom['v0'], axis=0)).tolist())
+    bb_hi = tuple(np.asarray(jnp.max(geom['v0'], axis=0)).tolist())
+    live = jnp.ones((r0,), bool).at[::5].set(False)
+    perm = ppt.tile_perm(
+        ppt.hitpoint_sort_perm(p, bb_lo, bb_hi, live=live), 2, r0)
+    # perm must be a valid permutation of the concatenated batch
+    assert (np.sort(np.asarray(perm)) == np.arange(R)).all()
+    base = ppt.occluded_packet(nodes, tris, org, d, tn, tf,
+                               max_leaf=8, interpret=True)
+    got = ppt.occluded_packet_sorted(nodes, tris, org, d, tn, tf,
+                                     bb_lo, bb_hi, max_leaf=8,
+                                     interpret=True, perm=perm)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(got))
+
+
 def test_pairs_matches_brute():
     """Outer-product dense kernel (rays-in-sublanes) is exact vs brute
     force: closest hit incl. recomputed u/v, any-hit incl. dead lanes,
@@ -275,7 +309,7 @@ def test_pairs_matches_brute():
     tn = jnp.full((R,), 1e-4)
     tf = jnp.full((R,), jnp.inf).at[::5].set(-1.0)
     hit = ppp.intersect_pairs(planes, rows, org, d, tn, tf,
-                              interpret=True)
+                              rt=2, kb=2, interpret=True)
     ref = intersect.intersect_brute(geom, org, d, tn, tf, block=64)
     both = np.isfinite(np.asarray(ref.t))
     assert (np.isfinite(np.asarray(hit.t)) == both).all()
@@ -287,19 +321,72 @@ def test_pairs_matches_brute():
                                np.asarray(ref.u)[both], atol=1e-4)
     np.testing.assert_allclose(np.asarray(hit.v)[both],
                                np.asarray(ref.v)[both], atol=1e-4)
-    # any-hit (dead lanes report occluded, like occluded_packet)
+    # any-hit (dead lanes report False, the occluded_packet contract)
     tfo = jnp.full((R,), 3.0).at[::5].set(-1.0)
-    occ = ppp.occluded_pairs(planes, org, d, tn, tfo, interpret=True)
+    occ = ppp.occluded_pairs(planes, org, d, tn, tfo, rt=2, kb=2,
+                             interpret=True)
     refo = intersect.intersect_brute(geom, org, d, tn, tfo, block=64)
-    expect = np.isfinite(np.asarray(refo.t)) | (np.asarray(tfo) <= 1e-4)
+    expect = np.isfinite(np.asarray(refo.t))
     np.testing.assert_array_equal(np.asarray(occ), expect)
     # explicit full-range ranged call == plain call
     gs = jnp.zeros((R // 16,), jnp.int32)
     ge = jnp.full((R // 16,), planes.shape[0], jnp.int32)
     hit2 = ppp.intersect_pairs(planes, rows, org, d, tn, tf,
-                               gs=gs, ge=ge, rt=2, interpret=True)
+                               gs=gs, ge=ge, rt=2, kb=2, interpret=True)
     np.testing.assert_array_equal(np.asarray(hit2.tri),
                                   np.asarray(hit.tri))
+
+
+def test_grid_matches_plain():
+    """Uniform-grid DDA + cell-binned dense sweeps (ops/grid.py) are
+    exact vs the packet kernel: closest (incl. u/v and original-triangle
+    id mapping through the duplicated planes) and any-hit (incl. the
+    dead-lane False contract), at rounds=0 (pure fallback) and beyond."""
+    from yulio_raytracer_tpu.ops import grid as gridm
+    nodes, tris, geom, tree = _build([
+        primitives.tessellate_sphere([0, 0, 0], 1.0, 12, 16),
+        primitives.tessellate_sphere([3, 0, 0], 0.7, 10, 12),
+        primitives.quad([-6, -1.2, -6], [6, -1.2, -6], [6, -1.2, 6],
+                        [-6, -1.2, 6]),
+    ])
+    host = {k: np.asarray(v) for k, v in geom.items()}
+    host['woop'] = np.asarray(mesh.woop_matrices(
+        host['v0'], host['e1'], host['e2'], host['valid']))
+    grid = gridm.build_grid(host, res=4)
+    rs = np.random.RandomState(5)
+    R = ppt.BLOCK
+    org = jnp.asarray(rs.randn(R, 3).astype(np.float32) * 2)
+    d = rs.randn(R, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    tn = jnp.full((R,), 1e-4)
+    tf = jnp.full((R,), np.inf).at[::5].set(-1.0)
+    bb_lo = tuple(np.asarray(jnp.min(geom['v0'], axis=0)).tolist())
+    bb_hi = tuple(np.asarray(jnp.max(geom['v0'], axis=0)).tolist())
+
+    ref = ppt.intersect_packet(nodes, tris, org, d, tn, tf,
+                               max_leaf=8, interpret=True)
+    for rounds in (0, 3):
+        got = gridm.intersect_grid(grid, nodes, tris, org, d, tn, tf,
+                                   bb_lo, bb_hi, res=4, rounds=rounds,
+                                   rt=2, max_leaf=8, interpret=True)
+        np.testing.assert_array_equal(np.asarray(ref.tri),
+                                      np.asarray(got.tri))
+        np.testing.assert_allclose(
+            np.where(np.isfinite(ref.t), ref.t, 0.0),
+            np.where(np.isfinite(got.t), got.t, 0.0), atol=1e-5)
+        hits = np.asarray(ref.tri) >= 0
+        np.testing.assert_allclose(np.asarray(ref.u)[hits],
+                                   np.asarray(got.u)[hits], atol=1e-4)
+
+    tfo = jnp.full((R,), 3.0).at[::5].set(-1.0)
+    refo = ppt.occluded_packet(nodes, tris, org, d, tn, tfo,
+                               max_leaf=8, interpret=True)
+    for rounds in (0, 3):
+        goto = gridm.occluded_grid(grid, nodes, tris, org, d, tn, tfo,
+                                   bb_lo, bb_hi, res=4, rounds=rounds,
+                                   rt=2, max_leaf=8, interpret=True)
+        np.testing.assert_array_equal(np.asarray(refo), np.asarray(goto))
 
 
 def test_dense_binned_matches_plain():

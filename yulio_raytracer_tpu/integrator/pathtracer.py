@@ -54,11 +54,11 @@ class PTParams:
     # when set, the geometry's triangle axis is sharded over this mesh axis
     # and hits are combined across it (parallel/sharding.py)
     tri_axis: Optional[str] = None
-    # bounce>=1 wavefront regrouping: 'morton' = octant/Morton sort
-    # (default — fastest measured), 'dense' = treelet-binned dense
-    # sweeps (pallas_pairs; loses on enclosed scenes because heavily
-    # overlapping treelet boxes keep the bounded fallback expensive —
-    # kept as a measured ablation), 'treelet' = treelet-binned
+    # bounce>=1 wavefront regrouping: 'morton' = octant/Morton sort,
+    # 'grid' = uniform-grid DDA + cell-binned dense sweeps (ops/grid.py
+    # — exact near-to-far termination for incoherent rays), 'dense' =
+    # treelet-binned dense sweeps (ablation; overlapping treelet boxes
+    # keep its fallback expensive), 'treelet' = treelet-binned
     # stack-kernel rounds (ablation), 'none' = raw pixel order
     ray_binning: str = 'morton'
     # backplate: optional (H, W, 3) image for unbent escaped rays
@@ -116,6 +116,16 @@ def _intersect(scene, org, dirn, tnear, tfar, time=None,
         if 'nodes' not in scene.packet:
             return ppd.intersect_dense(scene.packet['tris'], org, dirn,
                                        tnear, tfar)
+        if (sort_rays and binning == 'grid'
+                and 'grid' in scene.packet):
+            from ..ops import grid as ggrid
+            from ..scene import GRID_RES
+            return ggrid.intersect_grid(
+                scene.packet['grid'], scene.packet['nodes'],
+                scene.packet['tris'], org, dirn, tnear, tfar,
+                scene.bbox_lo, scene.bbox_hi, res=GRID_RES,
+                max_leaf=scene.leaf_size, hbm=scene.packet_hbm,
+                use_cull=scene.any_cull)
         if (sort_rays and binning == 'dense'
                 and 'planes' in scene.packet):
             return ppt.intersect_dense_binned(
@@ -177,7 +187,7 @@ def _post_intersect_combined(scene, org, dirn, hit, tri_axis):
 
 
 def _occluded(scene, org, dirn, tnear, tfar, tri_axis=None, time=None,
-              sort_rays=False, binning='treelet', seg=None):
+              sort_rays=False, binning='treelet', seg=None, perm=None):
     if 'mv0' in scene.geom and time is not None:
         if _use_packet(scene, org) and 'tris_mb' in scene.packet:
             from ..ops import pallas_traverse as ppt
@@ -193,6 +203,16 @@ def _occluded(scene, org, dirn, tnear, tfar, tri_axis=None, time=None,
         if 'nodes' not in scene.packet:
             occ = ppd.occluded_dense(scene.packet['tris'], org, dirn,
                                      tnear, tfar)
+        elif (sort_rays and binning == 'grid'
+                and 'grid' in scene.packet):
+            from ..ops import grid as ggrid
+            from ..scene import GRID_RES
+            occ = ggrid.occluded_grid(
+                scene.packet['grid'], scene.packet['nodes'],
+                scene.packet['tris'], org, dirn, tnear, tfar,
+                scene.bbox_lo, scene.bbox_hi, res=GRID_RES,
+                max_leaf=scene.leaf_size, hbm=scene.packet_hbm,
+                use_cull=scene.any_cull)
         elif (sort_rays and binning == 'dense'
                 and 'planes' in scene.packet):
             occ = ppt.occluded_dense_binned(
@@ -217,7 +237,7 @@ def _occluded(scene, org, dirn, tnear, tfar, tri_axis=None, time=None,
                 scene.packet['nodes'], scene.packet['tris'], org, dirn,
                 tnear, tfar, scene.bbox_lo, scene.bbox_hi,
                 max_leaf=scene.leaf_size, hbm=scene.packet_hbm,
-                use_cull=scene.any_cull, seg=seg)
+                use_cull=scene.any_cull, seg=seg, perm=perm)
         else:
             occ = ppt.occluded_packet(
                 scene.packet['nodes'], scene.packet['tris'], org, dirn,
@@ -384,6 +404,17 @@ def trace(scene, params: PTParams, org, dirn, seed, pixel_id, sample_id,
 
         if nee:
             nl = len(nee)
+            # every light's shadow batch starts at the SAME hit points:
+            # one origin-Morton argsort shared light-major across the
+            # whole nl*r batch (an nl*r argsort costs ~40-50 ms/Mray on
+            # v5e — the single largest wavefront-binning cost)
+            shadow_perm = None
+            if sort_rays and nl > 0:
+                from ..ops import pallas_traverse as _ppt
+                p0 = _ppt.hitpoint_sort_perm(
+                    dg['P'], scene.bbox_lo, scene.bbox_hi,
+                    live=hit.tri >= 0)
+                shadow_perm = _ppt.tile_perm(p0, nl, r)
             occ_all = _occluded(
                 scene,
                 jnp.tile(dg['P'], (nl, 1)),
@@ -393,7 +424,7 @@ def trace(scene, params: PTParams, org, dirn, seed, pixel_id, sample_id,
                 params.tri_axis, time=(None if time is None
                                        else jnp.tile(time, (nl,))),
                 sort_rays=sort_rays, binning=params.ray_binning,
-                seg=jnp.repeat(jnp.arange(nl, dtype=jnp.uint32), r))
+                perm=shadow_perm)
             for li, (cand, contrib) in enumerate(nee):
                 lit = cand & ~occ_all[li * r:(li + 1) * r]
                 L = L + jnp.where(lit[:, None], contrib, 0.0)

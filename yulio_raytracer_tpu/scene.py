@@ -46,6 +46,10 @@ BRUTE_FORCE_MAX_TRIS = 2048
 # kernels DMA leaf windows (VMEM is ~16 MB and the kernel needs room for
 # ray blocks; Embree likewise keeps big BVHs DRAM-resident)
 TRIS_VMEM_LIMIT_BYTES = int(12.5 * (1 << 20))
+# uniform-grid resolution for the DDA dense-sweep path (ops/grid.py):
+# coarse is right for the 128-lane sweep granularity — measured 8^3 has
+# 1.2x duplication and ~6 cells pierced per bounce ray on colonnade
+GRID_RES = 8
 # the flat BVH lives in SMEM (1 MB); keep a safety margin for the stacks
 MAX_SMEM_NODES = 28000
 
@@ -171,6 +175,16 @@ class SceneBuilder:
                 packet['planes_rows'] = jnp.asarray(prows)
                 packet['treelet_tile_lo'] = jnp.asarray(tgs)
                 packet['treelet_tile_hi'] = jnp.asarray(tge)
+            # uniform grid for the DDA + cell-binned dense sweep path
+            # (ops/grid.py, ray_binning='grid'): non-overlapping cells
+            # give incoherent rays exact near-to-far termination.  Skip
+            # before voxelizing when even the undupped planes couldn't
+            # fit VMEM (64 B/tri; measured duplication is ~1.2-1.5x)
+            if packed.v0.shape[0] * 64 <= TRIS_VMEM_LIMIT_BYTES:
+                from .ops import grid as ggrid
+                gd = ggrid.build_grid(host, res=GRID_RES)
+                if gd['planes'].nbytes <= TRIS_VMEM_LIMIT_BYTES:
+                    packet['grid'] = gd
         elif not has_motion:
             # dense Pallas intersector (no BVH): just the packed tri rows
             packet = {
