@@ -16,17 +16,21 @@ structure-of-arrays triangle tests, devices/device_ispc/shapes/*.isph):
 * every op in the inner loop is a full-width multiply/add/select — no
   shuffles at all.
 
-Per (ray, tri) pair this costs ~50 lane-ops -> ~75 Gpairs/s speed of
-light on one v5e core; measured ~4-6x the row-packed kernel.
+Two structural choices keep per-PROGRAM overhead down (measured ~7-8 us
+per grid program when each ray block was its own program — window-DMA
+issue latency, not compute):
+* all eight per-ray scalars ship as ONE packed (R, 8) array (one input
+  DMA per program instead of eight), and
+* each program processes `kb` consecutive 64-ray blocks (fori-swept
+  ranges per block), amortizing the program prologue ~kb-fold.
 
-Used standalone for small scenes and as the inner sweep of the
-treelet-binned incoherent-ray path (pallas_traverse.intersect_binned_*),
-where each 64-ray program sweeps only its treelet's contiguous tri-tile
-range [gs, ge) — replacing shared-stack traversal whose per-packet leaf
-UNION made incoherent packets ~35x wasteful (see PARITY.md round-2
-notes).  Reference behavior matched: rtcIntersect/rtcOccluded exactness
-(devices/device_singleray/api/scene_flat.h:90-108) including back-face
-culling filters (trianglemesh_normals.cpp:68-104).
+Used standalone for small scenes and as the inner sweep of the binned
+incoherent-ray paths (treelet: pallas_traverse.intersect_dense_binned;
+uniform grid: ops/grid.py), where each 64-ray block sweeps only its
+cell's contiguous tri-tile range [gs, ge).  Reference behavior matched:
+rtcIntersect/rtcOccluded exactness (devices/device_singleray/api/
+scene_flat.h:90-108) including back-face culling filters
+(trianglemesh_normals.cpp:68-104).
 """
 from __future__ import annotations
 
@@ -93,142 +97,157 @@ def _pair_tile(p, ox, oy, oz, dx, dy, dz, tn, tf, use_cull: bool):
     return ok, th
 
 
-def _load_rays(refs, k):
-    """(RB,1) slices of ray-tile k from the (RBLK,1) program block."""
-    return [r[RB * k:RB * (k + 1), :] for r in refs]
+def _ray_slices(rays_ref, j, rt):
+    """Per-ray-tile (RB,1) column slices of block j from the packed
+    (kb*rt*RB, 8) window."""
+    out = []
+    for k in range(rt):
+        r0 = (j * rt + k) * RB
+        sl = rays_ref[r0:r0 + RB, :]
+        out.append([sl[:, c:c + 1] for c in range(8)])
+    return out
 
 
-def _kernel(planes_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-            tn_ref, tf_ref, t_out, tri_out,
-            rt: int, use_cull: bool, gs_ref=None, ge_ref=None):
-    rays = [_load_rays(
-        (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tn_ref, tf_ref),
-        k) for k in range(rt)]
+def _kernel(planes_ref, rays_ref, t_out, tri_out,
+            rt: int, kb: int, use_cull: bool,
+            gs_ref=None, ge_ref=None):
     lane = jax.lax.broadcasted_iota(jnp.int32, (RB, TL), 1)
     pid = pl.program_id(0)
-    g0 = jnp.int32(0) if gs_ref is None else gs_ref[pid]
-    g1 = (jnp.int32(planes_ref.shape[0]) if ge_ref is None
-          else ge_ref[pid])
+    for j in range(kb):
+        b = pid * kb + j
+        g0 = jnp.int32(0) if gs_ref is None else gs_ref[b]
+        g1 = (jnp.int32(planes_ref.shape[0]) if ge_ref is None
+              else ge_ref[b])
+        rays = _ray_slices(rays_ref, j, rt)
 
-    def body(g, carry):
-        p = planes_ref[g]
-        out = []
-        idx = g * TL + lane
+        def body(g, carry, rays=rays):
+            p = planes_ref[g]
+            out = []
+            idx = g * TL + lane
+            for k in range(rt):
+                tb, ib = carry[2 * k], carry[2 * k + 1]
+                ox, oy, oz, dx, dy, dz, tn, tf = rays[k]
+                ok, th = _pair_tile(p, ox, oy, oz, dx, dy, dz,
+                                    tn, jnp.minimum(tf, tb), use_cull)
+                out.append(jnp.where(ok, th, tb))
+                out.append(jnp.where(ok, idx, ib))
+            return tuple(out)
+
+        init = []
+        for _ in range(rt):
+            init.append(jnp.full((RB, TL), INF))
+            init.append(jnp.full((RB, TL), -1, jnp.int32))
+        carry = jax.lax.fori_loop(g0, g1, body, tuple(init))
+
         for k in range(rt):
             tb, ib = carry[2 * k], carry[2 * k + 1]
-            ox, oy, oz, dx, dy, dz, tn, tf = rays[k]
-            ok, th = _pair_tile(p, ox, oy, oz, dx, dy, dz,
-                                tn, jnp.minimum(tf, tb), use_cull)
-            out.append(jnp.where(ok, th, tb))
-            out.append(jnp.where(ok, idx, ib))
-        return tuple(out)
-
-    init = []
-    for _ in range(rt):
-        init.append(jnp.full((RB, TL), INF))
-        init.append(jnp.full((RB, TL), -1, jnp.int32))
-    carry = jax.lax.fori_loop(g0, g1, body, tuple(init))
-
-    for k in range(rt):
-        tb, ib = carry[2 * k], carry[2 * k + 1]
-        tm = jnp.min(tb, axis=1, keepdims=True)            # (RB, 1)
-        # first lane achieving the min (deterministic tie-break)
-        hitl = tb <= tm
-        lsel = jnp.min(jnp.where(hitl, lane, TL), axis=1, keepdims=True)
-        at = lane == lsel
-        tri = jnp.max(jnp.where(at, ib, -1), axis=1, keepdims=True)
-        t_out[RB * k:RB * (k + 1), :] = tm
-        tri_out[RB * k:RB * (k + 1), :] = jnp.where(
-            tm < INF, tri, -1)
+            tm = jnp.min(tb, axis=1, keepdims=True)          # (RB, 1)
+            # first lane achieving the min (deterministic tie-break)
+            hitl = tb <= tm
+            lsel = jnp.min(jnp.where(hitl, lane, TL), axis=1,
+                           keepdims=True)
+            at = lane == lsel
+            tri = jnp.max(jnp.where(at, ib, -1), axis=1, keepdims=True)
+            r0 = (j * rt + k) * RB
+            t_out[r0:r0 + RB, :] = tm
+            tri_out[r0:r0 + RB, :] = jnp.where(tm < INF, tri, -1)
 
 
-def _kernel_any(planes_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
-                dz_ref, tn_ref, tf_ref, occ_out,
-                rt: int, use_cull: bool, gs_ref=None, ge_ref=None):
-    rays = [_load_rays(
-        (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tn_ref, tf_ref),
-        k) for k in range(rt)]
+def _kernel_any(planes_ref, rays_ref, occ_out,
+                rt: int, kb: int, use_cull: bool,
+                gs_ref=None, ge_ref=None):
     pid = pl.program_id(0)
-    g0 = jnp.int32(0) if gs_ref is None else gs_ref[pid]
-    g1 = (jnp.int32(planes_ref.shape[0]) if ge_ref is None
-          else ge_ref[pid])
+    for j in range(kb):
+        b = pid * kb + j
+        g0 = jnp.int32(0) if gs_ref is None else gs_ref[b]
+        g1 = (jnp.int32(planes_ref.shape[0]) if ge_ref is None
+              else ge_ref[b])
+        rays = _ray_slices(rays_ref, j, rt)
 
-    def cond(state):
-        g = state[0]
-        # stop when every ray of every tile is occluded (early exit)
-        alldone = jnp.bool_(True)
+        def cond(state):
+            g = state[0]
+            alldone = jnp.bool_(True)
+            for k in range(rt):
+                alldone = alldone & jnp.all(state[1 + k] != 0)
+            return (g < g1) & ~alldone
+
+        def body(state, rays=rays):
+            g = state[0]
+            p = planes_ref[g]
+            out = [g + 1]
+            for k in range(rt):
+                occ = state[1 + k]
+                ox, oy, oz, dx, dy, dz, tn, tf = rays[k]
+                ok, _ = _pair_tile(p, ox, oy, oz, dx, dy, dz, tn, tf,
+                                   use_cull)
+                out.append(occ | jnp.any(ok, axis=1, keepdims=True)
+                           .astype(jnp.int32))
+            return tuple(out)
+
+        # dead rays (tfar <= tnear) start occluded so they never block
+        # the early exit, and are masked back to False on output (the
+        # occluded_packet contract — pallas_traverse.py _kernel_any)
+        deads = []
+        init = [g0]
         for k in range(rt):
-            alldone = alldone & jnp.all(state[1 + k] != 0)
-        return (g < g1) & ~alldone
-
-    def body(state):
-        g = state[0]
-        p = planes_ref[g]
-        out = [g + 1]
+            _, _, _, _, _, _, tn, tf = rays[k]
+            deads.append((tf <= tn).astype(jnp.int32)[:, :1])
+            init.append(deads[-1])
+        state = jax.lax.while_loop(cond, body, tuple(init))
         for k in range(rt):
-            occ = state[1 + k]
-            ox, oy, oz, dx, dy, dz, tn, tf = rays[k]
-            ok, _ = _pair_tile(p, ox, oy, oz, dx, dy, dz, tn, tf,
-                               use_cull)
-            out.append(occ | jnp.any(ok, axis=1, keepdims=True)
-                       .astype(jnp.int32))
-        return tuple(out)
-
-    # dead rays (tfar <= tnear) start occluded so they never block the
-    # early exit (mirrors _kernel_any in pallas_traverse.py)
-    init = [g0]
-    for k in range(rt):
-        _, _, _, _, _, _, tn, tf = rays[k]
-        init.append((tf <= tn).astype(jnp.int32)[:, :1])
-    state = jax.lax.while_loop(cond, body, tuple(init))
-    for k in range(rt):
-        occ_out[RB * k:RB * (k + 1), :] = state[1 + k]
+            r0 = (j * rt + k) * RB
+            occ_out[r0:r0 + RB, :] = state[1 + k] * (1 - deads[k])
 
 
-def _specs(rblk, n_prog_in):
-    def rb():
-        return pl.BlockSpec((rblk, 1), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-    ins = [pl.BlockSpec(memory_space=pltpu.VMEM)]     # planes (whole)
-    ins += [rb()] * 8
+def _pack_rays(org, dirn, tnear, tfar):
+    return jnp.concatenate(
+        [org, dirn, tnear[:, None], tfar[:, None]], axis=1)
+
+
+def _specs(pblk, n_prog_in):
+    ins = [pl.BlockSpec(memory_space=pltpu.VMEM),          # planes
+           pl.BlockSpec((pblk, 8), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)]          # packed rays
     ins += [pl.BlockSpec(memory_space=pltpu.SMEM)] * n_prog_in
-    return ins, rb
+
+    def ob():
+        return pl.BlockSpec((pblk, 1), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    return ins, ob
 
 
-@partial(jax.jit, static_argnames=('rt', 'use_cull', 'interpret'))
+@partial(jax.jit, static_argnames=('rt', 'kb', 'use_cull', 'interpret'))
 def intersect_pairs_raw(planes, org, dirn, tnear, tfar,
-                        gs=None, ge=None, rt: int = 4,
+                        gs=None, ge=None, rt: int = 8, kb: int = 8,
                         use_cull: bool = True, interpret: bool = False):
     """(t, tri) of the closest hit; u/v are NOT computed here (see
-    intersect_pairs).  org/dirn (R,3); R % (8*rt) == 0.  gs/ge: optional
-    (R // (8*rt),) i32 per-program tri-tile ranges (treelet sweep)."""
+    intersect_pairs).  org/dirn (R,3); R % (8*rt*kb) == 0.  gs/ge:
+    optional (R // (8*rt),) i32 per-64-ray-block tri-tile ranges
+    (treelet/grid sweeps)."""
     r = org.shape[0]
-    rblk = RB * rt
-    assert r % rblk == 0, f"ray count must be a multiple of {rblk}"
-    grid = (r // rblk,)
+    pblk = RB * rt * kb
+    assert r % pblk == 0, f"ray count must be a multiple of {pblk}"
+    grid = (r // pblk,)
     ranged = gs is not None
-    ins, rb = _specs(rblk, 2 if ranged else 0)
-    args = [planes,
-            org[:, 0:1], org[:, 1:2], org[:, 2:3],
-            dirn[:, 0:1], dirn[:, 1:2], dirn[:, 2:3],
-            tnear[:, None], tfar[:, None]]
+    ins, ob = _specs(pblk, 2 if ranged else 0)
+    args = [planes, _pack_rays(org, dirn, tnear, tfar)]
     if ranged:
         args += [gs.astype(jnp.int32), ge.astype(jnp.int32)]
 
     def kernel(*refs):
         kw = {}
         if ranged:
-            kw['gs_ref'], kw['ge_ref'] = refs[9], refs[10]
-            outs = refs[11:]
+            kw['gs_ref'], kw['ge_ref'] = refs[2], refs[3]
+            outs = refs[4:]
         else:
-            outs = refs[9:]
-        _kernel(*refs[:9], *outs, rt=rt, use_cull=use_cull, **kw)
+            outs = refs[2:]
+        _kernel(*refs[:2], *outs, rt=rt, kb=kb, use_cull=use_cull, **kw)
 
     t, tri = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=ins,
-        out_specs=[rb(), rb()],
+        out_specs=[ob(), ob()],
         out_shape=[jax.ShapeDtypeStruct((r, 1), jnp.float32),
                    jax.ShapeDtypeStruct((r, 1), jnp.int32)],
         interpret=interpret,
@@ -255,53 +274,52 @@ def recompute_uv(rows, org, dirn, t, tri):
     return jnp.where(ok, u, 0.0), jnp.where(ok, v, 0.0)
 
 
-@partial(jax.jit, static_argnames=('rt', 'use_cull', 'interpret'))
+@partial(jax.jit, static_argnames=('rt', 'kb', 'use_cull', 'interpret'))
 def intersect_pairs(planes, rows, org, dirn, tnear, tfar,
-                    gs=None, ge=None, rt: int = 4,
-                    use_cull: bool = True, interpret: bool = False) -> Hit:
+                    gs=None, ge=None, rt: int = 8, kb: int = 8,
+                    use_cull: bool = True,
+                    interpret: bool = False) -> Hit:
     """Dense closest-hit over [gs, ge) tri-tiles (whole scene if None).
     Exact same contract as pallas_dense.intersect_dense (INF t on miss)."""
     t, tri = intersect_pairs_raw(planes, org, dirn, tnear, tfar,
-                                 gs=gs, ge=ge, rt=rt, use_cull=use_cull,
-                                 interpret=interpret)
+                                 gs=gs, ge=ge, rt=rt, kb=kb,
+                                 use_cull=use_cull, interpret=interpret)
     u, v = recompute_uv(rows, org, dirn, t, tri)
     return Hit(t, tri, u, v)
 
 
-@partial(jax.jit, static_argnames=('rt', 'use_cull', 'interpret'))
+@partial(jax.jit, static_argnames=('rt', 'kb', 'use_cull', 'interpret'))
 def occluded_pairs(planes, org, dirn, tnear, tfar,
-                   gs=None, ge=None, rt: int = 8,
+                   gs=None, ge=None, rt: int = 8, kb: int = 8,
                    use_cull: bool = True, interpret: bool = False):
     """Dense any-hit over [gs, ge) tri-tiles; early-exits once every ray
-    in the program block is occluded.  Dead lanes (tfar <= tnear) report
-    occluded=True like pallas_traverse.occluded_packet."""
+    in a 64-ray block is occluded.  Dead lanes (tfar <= tnear) report
+    occluded=False (the pallas_traverse.occluded_packet contract)."""
     r = org.shape[0]
-    rblk = RB * rt
-    assert r % rblk == 0, f"ray count must be a multiple of {rblk}"
-    grid = (r // rblk,)
+    pblk = RB * rt * kb
+    assert r % pblk == 0, f"ray count must be a multiple of {pblk}"
+    grid = (r // pblk,)
     ranged = gs is not None
-    ins, rb = _specs(rblk, 2 if ranged else 0)
-    args = [planes,
-            org[:, 0:1], org[:, 1:2], org[:, 2:3],
-            dirn[:, 0:1], dirn[:, 1:2], dirn[:, 2:3],
-            tnear[:, None], tfar[:, None]]
+    ins, ob = _specs(pblk, 2 if ranged else 0)
+    args = [planes, _pack_rays(org, dirn, tnear, tfar)]
     if ranged:
         args += [gs.astype(jnp.int32), ge.astype(jnp.int32)]
 
     def kernel(*refs):
         kw = {}
         if ranged:
-            kw['gs_ref'], kw['ge_ref'] = refs[9], refs[10]
-            outs = refs[11:]
+            kw['gs_ref'], kw['ge_ref'] = refs[2], refs[3]
+            outs = refs[4:]
         else:
-            outs = refs[9:]
-        _kernel_any(*refs[:9], *outs, rt=rt, use_cull=use_cull, **kw)
+            outs = refs[2:]
+        _kernel_any(*refs[:2], *outs, rt=rt, kb=kb, use_cull=use_cull,
+                    **kw)
 
     occ = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=ins,
-        out_specs=rb(),
+        out_specs=ob(),
         out_shape=jax.ShapeDtypeStruct((r, 1), jnp.int32),
         interpret=interpret,
     )(*args)
