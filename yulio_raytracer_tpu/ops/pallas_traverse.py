@@ -552,7 +552,7 @@ def _ray_sort_key(org, dirn, bbox_lo, bbox_hi):
 
 
 def _sorted_call(fn, n_outs, org, dirn, tnear, tfar, bbox_lo, bbox_hi,
-                 seg=None):
+                 seg=None, perm=None):
     """Run fn on octant/Morton-sorted rays; unsort its outputs.  Dead
     rays (tfar <= tnear, the integrator's inactive-lane marker) sort to
     the very end so they fill all-dead packets that exit immediately.
@@ -560,13 +560,20 @@ def _sorted_call(fn, n_outs, org, dirn, tnear, tfar, bbox_lo, bbox_hi,
     seg: optional (R,) small-int segment id sorted ABOVE the octant bits —
     NEE batches pass the light index so each packet holds rays converging
     on ONE light (a thin frustum) instead of an octant-wide mix of
-    destinations (measured: mixed-light packets double the leaf union)."""
-    key = _ray_sort_key(org, dirn, jnp.asarray(bbox_lo),
-                        jnp.asarray(bbox_hi))
-    if seg is not None:
-        key = key | (seg.astype(jnp.uint32) << jnp.uint32(18))
-    key = key | ((tfar <= tnear).astype(jnp.uint32) << jnp.uint32(30))
-    perm = jnp.argsort(key)
+    destinations (measured: mixed-light packets double the leaf union).
+
+    perm: optional precomputed (R,) permutation that REPLACES the
+    key+argsort (XLA argsort costs ~40-50 ms per million rays on v5e —
+    by far the dominant wavefront-binning cost, measured by
+    scripts/profile_grid.py).  The integrator reuses one hit-point
+    Morton sort across all of a bounce's shadow batches this way."""
+    if perm is None:
+        key = _ray_sort_key(org, dirn, jnp.asarray(bbox_lo),
+                            jnp.asarray(bbox_hi))
+        if seg is not None:
+            key = key | (seg.astype(jnp.uint32) << jnp.uint32(18))
+        key = key | ((tfar <= tnear).astype(jnp.uint32) << jnp.uint32(30))
+        perm = jnp.argsort(key)
     outs = fn(org[perm], dirn[perm], tnear[perm], tfar[perm])
     if n_outs == 1:
         outs = (outs,)
@@ -574,6 +581,26 @@ def _sorted_call(fn, n_outs, org, dirn, tnear, tfar, bbox_lo, bbox_hi,
     # second full O(n log n) sort)
     outs = tuple(jnp.zeros_like(o).at[perm].set(o) for o in outs)
     return outs[0] if n_outs == 1 else outs
+
+
+def hitpoint_sort_perm(org, bbox_lo, bbox_hi, live=None):
+    """One origin-Morton argsort to be shared (via _sorted_call's `perm`)
+    by every same-origin traversal batch of a bounce: the bounce's NEE
+    shadow rays all start at the same hit points, so for nl lights this
+    replaces an nl*R-ray argsort with R-ray gathers.  Dead/invalid rays
+    (live=False) sort to the end."""
+    key = _ray_sort_key(org, jnp.ones_like(org), jnp.asarray(bbox_lo),
+                        jnp.asarray(bbox_hi)) & jnp.uint32(0x7FFF)
+    if live is not None:
+        key = key | ((~live).astype(jnp.uint32) << jnp.uint32(30))
+    return jnp.argsort(key)
+
+
+def tile_perm(perm, n_seg: int, r: int):
+    """Concatenated-batch permutation: segment s keeps its rays in
+    `perm` order (seg-major layout, one argsort total)."""
+    return (jnp.arange(n_seg, dtype=perm.dtype)[:, None] * r
+            + perm[None, :]).reshape(-1)
 
 
 @partial(jax.jit, static_argnames=('bbox_lo', 'bbox_hi', 'max_leaf',
@@ -599,16 +626,17 @@ def intersect_packet_sorted(nodes, tris, org, dirn, tnear, tfar,
 def occluded_packet_sorted(nodes, tris, org, dirn, tnear, tfar,
                            bbox_lo, bbox_hi, max_leaf: int = 64,
                            interpret: bool = False, hbm: bool = False,
-                           use_cull: bool = True, seg=None):
+                           use_cull: bool = True, seg=None, perm=None):
     """Any-hit with wavefront ray binning (see _ray_sort_key); seg
-    optionally groups packets by destination light (_sorted_call)."""
+    optionally groups packets by destination light; perm reuses a
+    precomputed permutation instead of sorting (_sorted_call)."""
     def run(o, d, tn, tf):
         return occluded_packet(nodes, tris, o, d, tn, tf,
                                max_leaf=max_leaf, interpret=interpret,
                                hbm=hbm, use_cull=use_cull)
 
     return _sorted_call(run, 1, org, dirn, tnear, tfar, bbox_lo, bbox_hi,
-                        seg=seg)
+                        seg=seg, perm=perm)
 
 
 def _kernel_any(nodes_ref, tris_ref,
@@ -961,17 +989,25 @@ def _treelet_assign(boxes, org, dirn, tnear, tfar, processed):
 
 
 def _binned_layout(sel, has, org, dirn, tnear, tfar, n_treelets: int,
-                   bbox_lo, bbox_hi, block: int = BLOCK):
-    """Group rays by treelet into block-aligned segments.
+                   bbox_lo, bbox_hi, block: int = BLOCK,
+                   align: int = 1):
+    """Group rays by treelet/cell into block-aligned segments.
 
-    Returns (perm, slot, org_p, dirn_p, tn_p, tf_p, seg_offs) where the
-    _p arrays have static capacity R + T*block (+1 dump row); rays the
-    round does not process land in the dump row; padding lanes carry
-    tfar=-1 (the kernels' dead marker).  Within a treelet segment rays
-    keep octant/Morton order (the intra-treelet coherence key)."""
+    Returns (slot, org_p, dirn_p, tn_p, tf_p, seg_offs): slot (R,) maps
+    each ORIGINAL ray to its position in the packed _p arrays (slot ==
+    cap for rays this round does not process); the _p arrays have static
+    capacity R + T*block, rounded up to `align`; padding lanes carry
+    tfar=-1 (the kernels' dead marker).  Within a segment rays keep
+    octant/Morton order (the intra-segment coherence key).
+
+    Deliberately scatter-free: general scatters (slots with gaps) take
+    XLA's serialized TPU path (~6 ms per array at 1M rays, measured by
+    scripts/profile_grid.py); everything here is argsort + searchsorted
+    + gathers, which all run at memory speed."""
     r = sel.shape[0]
     t_cnt = n_treelets
     cap = r + t_cnt * block
+    cap = (cap + align - 1) // align * align
     key = _ray_sort_key(org, dirn, jnp.asarray(bbox_lo),
                         jnp.asarray(bbox_hi))
     k = (jnp.where(has, sel.astype(jnp.uint32), jnp.uint32(t_cnt))
@@ -979,25 +1015,42 @@ def _binned_layout(sel, has, org, dirn, tnear, tfar, n_treelets: int,
     perm = jnp.argsort(k)
     sel_s = sel[perm]
     has_s = has[perm]
-    cnt = jnp.bincount(jnp.where(has, sel, t_cnt), length=t_cnt + 1)[:t_cnt]
+    # per-segment counts from the sorted segment column (no bincount —
+    # bincount is a scatter-add)
+    cells_sorted = jnp.where(has_s, sel_s, t_cnt).astype(jnp.int32)
+    bounds = jnp.searchsorted(cells_sorted,
+                              jnp.arange(t_cnt + 1, dtype=jnp.int32))
+    cnt = bounds[1:] - bounds[:-1]
     pad_cnt = (cnt + block - 1) // block * block
     seg_offs = jnp.concatenate([jnp.zeros((1,), cnt.dtype),
                                 jnp.cumsum(pad_cnt)])
-    seg_start = jnp.concatenate([jnp.zeros((1,), cnt.dtype),
-                                 jnp.cumsum(cnt)])
-    rank = jnp.arange(r) - seg_start[jnp.clip(sel_s, 0, t_cnt - 1)]
-    slot = jnp.where(has_s, seg_offs[jnp.clip(sel_s, 0, t_cnt - 1)] + rank,
-                     cap)
+    sel_c = jnp.clip(sel_s, 0, t_cnt - 1)
+    rank = jnp.arange(r) - bounds[sel_c]
+    # nondecreasing in sorted order (segments ascend, ranks ascend)
+    slot_sorted = jnp.where(has_s, seg_offs[sel_c] + rank, cap)
 
-    def scatter(x, fill):
-        buf = jnp.full((cap + 1,) + x.shape[1:], fill, x.dtype)
-        return buf.at[slot].set(x[perm])[:cap]
+    # packed arrays by gather: position p's source is the unique sorted
+    # ray with slot_sorted == p (binary search over the sorted slots)
+    pos = jnp.arange(cap, dtype=slot_sorted.dtype)
+    j = jnp.clip(jnp.searchsorted(slot_sorted, pos), 0, r - 1)
+    occupied = slot_sorted[j] == pos
+    src = perm[j]
 
-    org_p = scatter(org, 0.0)
-    dirn_p = scatter(dirn, 1.0)
-    tn_p = scatter(tnear, 0.0)
-    tf_p = scatter(tfar, -1.0)           # padding lanes are dead
-    return perm, slot, org_p, dirn_p, tn_p, tf_p, seg_offs
+    def gath(x, fill):
+        full = x[src]
+        fillv = jnp.asarray(fill, x.dtype)
+        if x.ndim > 1:
+            return jnp.where(occupied[:, None], full, fillv)
+        return jnp.where(occupied, full, fillv)
+
+    org_p = gath(org, 0.0)
+    dirn_p = gath(dirn, 1.0)
+    tn_p = gath(tnear, 0.0)
+    tf_p = gath(tfar, -1.0)              # padding lanes are dead
+    # slot in ORIGINAL ray order (inverse of perm, gather-only)
+    inv = jnp.argsort(perm)
+    slot = slot_sorted[inv]
+    return slot, org_p, dirn_p, tn_p, tf_p, seg_offs
 
 
 def _packet_roots(seg_offs, roots, cap: int):
@@ -1036,23 +1089,19 @@ def intersect_packet_binned(nodes, tris, troots, tboxes, org, dirn,
         sel, has = _treelet_assign(tboxes, org, dirn, tnear, bound,
                                    processed)
         processed = _mark_processed(processed, sel, has)
-        perm, slot, org_p, dirn_p, tn_p, tf_p, seg_offs = _binned_layout(
+        slot, org_p, dirn_p, tn_p, tf_p, seg_offs = _binned_layout(
             sel, has, org, dirn, tnear, bound, t_cnt, bbox_lo, bbox_hi)
         roots = _packet_roots(seg_offs, troots, cap)
         h = intersect_packet(nodes, tris, org_p, dirn_p, tn_p, tf_p,
                              roots=roots, max_leaf=max_leaf,
                              interpret=interpret, hbm=hbm,
                              use_cull=use_cull)
-        # gather this round's results back to original ray order
+        # slot is in original ray order: results come back by gather
         take = jnp.minimum(slot, cap - 1)
-        t_s = jnp.where(slot < cap, h.t[take], INF)
-        tri_s = jnp.where(slot < cap, h.tri[take], -1)
-        u_s = jnp.where(slot < cap, h.u[take], 0.0)
-        v_s = jnp.where(slot < cap, h.v[take], 0.0)
-        unperm = jnp.zeros((r,), jnp.int32).at[perm].set(
-            jnp.arange(r, dtype=jnp.int32))
-        t_o, tri_o = t_s[unperm], tri_s[unperm]
-        u_o, v_o = u_s[unperm], v_s[unperm]
+        t_o = jnp.where(slot < cap, h.t[take], INF)
+        tri_o = jnp.where(slot < cap, h.tri[take], -1)
+        u_o = jnp.where(slot < cap, h.u[take], 0.0)
+        v_o = jnp.where(slot < cap, h.v[take], 0.0)
         better = t_o < best.t
         best = Hit(jnp.where(better, t_o, best.t),
                    jnp.where(better, tri_o, best.tri),
@@ -1097,7 +1146,7 @@ def occluded_packet_binned(nodes, tris, troots, tboxes, org, dirn,
         sel, has = _treelet_assign(tboxes, org, dirn, tnear, live_tf,
                                    processed)
         processed = _mark_processed(processed, sel, has)
-        perm, slot, org_p, dirn_p, tn_p, tf_p, seg_offs = _binned_layout(
+        slot, org_p, dirn_p, tn_p, tf_p, seg_offs = _binned_layout(
             sel, has, org, dirn, tnear, live_tf, t_cnt, bbox_lo, bbox_hi)
         roots = _packet_roots(seg_offs, troots, cap)
         o = occluded_packet(nodes, tris, org_p, dirn_p, tn_p, tf_p,
@@ -1105,10 +1154,7 @@ def occluded_packet_binned(nodes, tris, troots, tboxes, org, dirn,
                             interpret=interpret, hbm=hbm,
                             use_cull=use_cull)
         take = jnp.minimum(slot, cap - 1)
-        o_s = jnp.where(slot < cap, o[take], False)
-        unperm = jnp.zeros((r,), jnp.int32).at[perm].set(
-            jnp.arange(r, dtype=jnp.int32))
-        occ = occ | o_s[unperm]
+        occ = occ | jnp.where(slot < cap, o[take], False)
 
     live_tf = jnp.where(occ, -1.0, tfar)
     _, remaining = _treelet_assign(tboxes, org, dirn, tnear, live_tf,
@@ -1176,6 +1222,7 @@ def intersect_dense_binned(nodes, tris, planes, rows, tboxes, tgs, tge,
     t_cnt = tboxes.shape[0]
     block = ppp.RB * rt
     cap = r + t_cnt * block
+    cap = (cap + block * 8 - 1) // (block * 8) * (block * 8)
     processed = jnp.zeros((r, _mask_words(t_cnt)), jnp.uint32)
     best = Hit(jnp.full((r,), INF), jnp.full((r,), -1, jnp.int32),
                jnp.zeros((r,)), jnp.zeros((r,)))
@@ -1185,19 +1232,16 @@ def intersect_dense_binned(nodes, tris, planes, rows, tboxes, tgs, tge,
         sel, has = _treelet_assign(tboxes, org, dirn, tnear, bound,
                                    processed)
         processed = _mark_processed(processed, sel, has)
-        perm, slot, org_p, dirn_p, tn_p, tf_p, seg_offs = _binned_layout(
+        slot, org_p, dirn_p, tn_p, tf_p, seg_offs = _binned_layout(
             sel, has, org, dirn, tnear, bound, t_cnt, bbox_lo, bbox_hi,
-            block=block)
+            block=block, align=block * 8)
         gs, ge = _dense_ranges(seg_offs, tgs, tge, cap, block)
         t_p, tri_p = ppp.intersect_pairs_raw(
             planes, org_p, dirn_p, tn_p, tf_p, gs=gs, ge=ge, rt=rt,
             use_cull=use_cull, interpret=interpret)
         take = jnp.minimum(slot, cap - 1)
-        t_s = jnp.where(slot < cap, t_p[take], INF)
-        tri_s = jnp.where(slot < cap, tri_p[take], -1)
-        unperm = jnp.zeros((r,), jnp.int32).at[perm].set(
-            jnp.arange(r, dtype=jnp.int32))
-        t_o, tri_o = t_s[unperm], tri_s[unperm]
+        t_o = jnp.where(slot < cap, t_p[take], INF)
+        tri_o = jnp.where(slot < cap, tri_p[take], -1)
         better = t_o < best.t
         best = Hit(jnp.where(better, t_o, best.t),
                    jnp.where(better, tri_o, best.tri), best.u, best.v)
@@ -1233,6 +1277,7 @@ def occluded_dense_binned(nodes, tris, planes, tboxes, tgs, tge,
     t_cnt = tboxes.shape[0]
     block = ppp.RB * rt
     cap = r + t_cnt * block
+    cap = (cap + block * 8 - 1) // (block * 8) * (block * 8)
     processed = jnp.zeros((r, _mask_words(t_cnt)), jnp.uint32)
     occ = jnp.zeros((r,), bool)
 
@@ -1241,18 +1286,15 @@ def occluded_dense_binned(nodes, tris, planes, tboxes, tgs, tge,
         sel, has = _treelet_assign(tboxes, org, dirn, tnear, live_tf,
                                    processed)
         processed = _mark_processed(processed, sel, has)
-        perm, slot, org_p, dirn_p, tn_p, tf_p, seg_offs = _binned_layout(
+        slot, org_p, dirn_p, tn_p, tf_p, seg_offs = _binned_layout(
             sel, has, org, dirn, tnear, live_tf, t_cnt, bbox_lo, bbox_hi,
-            block=block)
+            block=block, align=block * 8)
         gs, ge = _dense_ranges(seg_offs, tgs, tge, cap, block)
         o = ppp.occluded_pairs(planes, org_p, dirn_p, tn_p, tf_p,
                                gs=gs, ge=ge, rt=rt, use_cull=use_cull,
                                interpret=interpret)
         take = jnp.minimum(slot, cap - 1)
-        o_s = jnp.where(slot < cap, o[take], False)
-        unperm = jnp.zeros((r,), jnp.int32).at[perm].set(
-            jnp.arange(r, dtype=jnp.int32))
-        occ = occ | o_s[unperm]
+        occ = occ | jnp.where(slot < cap, o[take], False)
 
     live_tf = jnp.where(occ, -1.0, tfar)
     _, remaining = _treelet_assign(tboxes, org, dirn, tnear, live_tf,
