@@ -287,6 +287,40 @@ def trace(scene, params: PTParams, org, dirn, seed, pixel_id, sample_id,
 
     dim_light, dim_stride = _dim_layout(len(all_lights))
 
+    # NEE light groups: same-kind lights are sampled through ONE vmapped
+    # graph instance (stacked parameter arrays), so trace/compile size
+    # stays O(#kinds) instead of O(#lights) — a Collada export with
+    # dozens of lights compiles as fast as the 3-light cornell.  HDRI
+    # lights group only when their maps share a shape (static w/h).
+    def _group_key(l):
+        if l['kind'] == 'hdri':
+            return ('hdri', l['width'], l['height'])
+        return (l['kind'],)
+
+    light_groups = {}
+    for _li, _l in enumerate(all_lights):
+        light_groups.setdefault(_group_key(_l), []).append(_li)
+    _NO_STACK = ('kind', 'width', 'height')
+
+    def _stacked(idxs):
+        arrs = {}
+        proto = all_lights[idxs[0]]
+        for key, val in proto.items():
+            if key in _NO_STACK or isinstance(val, str):
+                arrs[key] = val
+            elif isinstance(val, dict):
+                arrs[key] = {k2: jnp.stack(
+                    [jnp.asarray(all_lights[i][key][k2]) for i in idxs])
+                    for k2 in val}
+            elif key.endswith('mask'):
+                arrs[key] = jnp.asarray(np.asarray(
+                    [all_lights[i][key] for i in idxs],
+                    np.int64).astype(np.uint32))
+            else:
+                arrs[key] = jnp.stack(
+                    [jnp.asarray(all_lights[i][key]) for i in idxs])
+        return arrs
+
     def bounce(state, depth, sort_rays=False):
         base = _bounce_dims(depth, dim_stride)
         active = state['active']
@@ -366,13 +400,17 @@ def trace(scene, params: PTParams, org, dirn, seed, pixel_id, sample_id,
         # pack into coherent packets.
         use_dl = lb.has_type(lobed, lb.DIFFUSE) & active
         err_eps = dg['error'] * params.epsilon
-        nee = []     # per light: (cand, contrib)
-        wis, tfars = [], []
-        for li, l in enumerate(all_lights):
-            mask_ok = (jnp.uint32(l['illum_mask'] & 0xFFFFFFFF)
+        # group-major stacked NEE tensors: cand/contrib/wi/tfar (nk, R..)
+        cand_gs, contrib_gs, wi_gs, tfar_gs = [], [], [], []
+
+        def nee_one(l, li_dim, illum_mask_u32):
+            """One light's NEE sample+shade (vmapped per kind group;
+            li_dim carries the ORIGINAL light index so RNG streams are
+            identical to the unrolled form)."""
+            mask_ok = (illum_mask_u32
                        & dg['illum_mask'].astype(jnp.uint32)) != 0
             u2 = rng.uniform2(seed, pixel_id, sample_id,
-                              base + jnp.uint32(dim_light + li))
+                              base + jnp.uint32(dim_light) + li_dim)
             le, wi, pdf, tmax = glights.sample(l, dg['P'], ns, u2)
             cand = use_dl & mask_ok & (pdf > 0.0) \
                 & jnp.any(le > 0.0, axis=-1)
@@ -382,8 +420,9 @@ def trace(scene, params: PTParams, org, dirn, seed, pixel_id, sample_id,
             if has_shadow_cap:
                 # Yulio dome trick (cpp:148-157): cap shadow length with
                 # jitter; lengthen up to 100x below the horizon
-                jit = rng.uniform1(seed, pixel_id, sample_id,
-                                   base + jnp.uint32(_DIM_SHADOW + li))
+                jit = rng.uniform1(
+                    seed, pixel_id, sample_id,
+                    base + jnp.uint32(_DIM_SHADOW) + li_dim)
                 t_cap = params.t_max_shadow_ray
                 t_jit = params.t_max_shadow_jitter
                 jlen = 2.0 * t_cap * t_jit * jit - t_cap * t_jit
@@ -397,13 +436,46 @@ def trace(scene, params: PTParams, org, dirn, seed, pixel_id, sample_id,
                     0.0)
 
             contrib = thr * le * brdf / jnp.maximum(pdf, 1e-20)[:, None]
-            nee.append((cand, contrib))
-            wis.append(wi)
-            tfars.append(jnp.where(cand, tmax - err_eps, -1.0))
-            state['num_rays'] = state['num_rays'] + jnp.sum(cand)
+            return cand, contrib, wi, jnp.where(cand, tmax - err_eps,
+                                                -1.0)
 
-        if nee:
-            nl = len(nee)
+        for gkey, idxs in light_groups.items():
+            if gkey[0] == 'hdri':
+                # HDRI's Distribution2D holds ragged CDF tables that do
+                # not batch; sample each directly (rarely more than one)
+                for li in idxs:
+                    c1, k1, w1, t1 = nee_one(
+                        all_lights[li], jnp.uint32(li),
+                        jnp.uint32(all_lights[li]['illum_mask']
+                                   & 0xFFFFFFFF))
+                    cand_gs.append(c1[None])
+                    contrib_gs.append(k1[None])
+                    wi_gs.append(w1[None])
+                    tfar_gs.append(t1[None])
+                continue
+            stacked = _stacked(idxs)
+            statics = {k: v for k, v in stacked.items()
+                       if k in _NO_STACK or isinstance(v, str)}
+            arrays = {k: v for k, v in stacked.items()
+                      if k not in statics and k != 'illum_mask'}
+            dims = jnp.asarray(idxs, jnp.uint32)
+            masks = stacked['illum_mask']
+            c_g, k_g, w_g, t_g = jax.vmap(
+                lambda larr, d, m, _s=statics: nee_one(
+                    {**_s, **larr}, d, m),
+                in_axes=(0, 0, 0))(arrays, dims, masks)
+            cand_gs.append(c_g)
+            contrib_gs.append(k_g)
+            wi_gs.append(w_g)
+            tfar_gs.append(t_g)
+
+        if cand_gs:
+            cand_all = jnp.concatenate(cand_gs)        # (nl, R)
+            contrib_all = jnp.concatenate(contrib_gs)  # (nl, R, 3)
+            wi_all = jnp.concatenate(wi_gs)            # (nl, R, 3)
+            tfar_all = jnp.concatenate(tfar_gs)        # (nl, R)
+            nl = cand_all.shape[0]
+            state['num_rays'] = state['num_rays'] + jnp.sum(cand_all)
             # every light's shadow batch starts at the SAME hit points:
             # one origin-Morton argsort shared light-major across the
             # whole nl*r batch (an nl*r argsort costs ~40-50 ms/Mray on
@@ -418,16 +490,16 @@ def trace(scene, params: PTParams, org, dirn, seed, pixel_id, sample_id,
             occ_all = _occluded(
                 scene,
                 jnp.tile(dg['P'], (nl, 1)),
-                jnp.concatenate(wis, axis=0),
+                wi_all.reshape(nl * r, 3),
                 jnp.tile(err_eps, (nl,)),
-                jnp.concatenate(tfars, axis=0),
+                tfar_all.reshape(nl * r),
                 params.tri_axis, time=(None if time is None
                                        else jnp.tile(time, (nl,))),
                 sort_rays=sort_rays, binning=params.ray_binning,
                 perm=shadow_perm)
-            for li, (cand, contrib) in enumerate(nee):
-                lit = cand & ~occ_all[li * r:(li + 1) * r]
-                L = L + jnp.where(lit[:, None], contrib, 0.0)
+            lit = cand_all & ~occ_all.reshape(nl, r)
+            L = L + jnp.sum(jnp.where(lit[:, :, None], contrib_all, 0.0),
+                            axis=0)
 
         # ---- depth cut (cpp:169-170) ----
         cont = active & (depth < params.max_depth - 1)
