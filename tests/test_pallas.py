@@ -389,6 +389,45 @@ def test_grid_matches_plain():
         np.testing.assert_array_equal(np.asarray(refo), np.asarray(goto))
 
 
+def test_grid_march_matches_plain():
+    """Fully in-kernel grid march (ops/grid.py intersect_march): the
+    shared-wavefront DDA with a visited-cell mask is exact vs the packet
+    kernel (no fallback pass exists to paper over misses)."""
+    from yulio_raytracer_tpu.ops import grid as gridm
+    nodes, tris, geom, tree = _build([
+        primitives.tessellate_sphere([0, 0, 0], 1.0, 12, 16),
+        primitives.tessellate_sphere([3, 0, 0], 0.7, 10, 12),
+        primitives.quad([-6, -1.2, -6], [6, -1.2, -6], [6, -1.2, 6],
+                        [-6, -1.2, 6]),
+    ])
+    host = {k: np.asarray(v) for k, v in geom.items()}
+    host['woop'] = np.asarray(mesh.woop_matrices(
+        host['v0'], host['e1'], host['e2'], host['valid']))
+    grid = gridm.build_grid(host, res=4)
+    rs = np.random.RandomState(5)
+    R = ppt.BLOCK
+    org = jnp.asarray(rs.randn(R, 3).astype(np.float32) * 2)
+    d = rs.randn(R, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    tn = jnp.full((R,), 1e-4)
+    tf = jnp.full((R,), np.inf).at[::5].set(-1.0)
+    bb_lo = tuple(np.asarray(jnp.min(geom['v0'], axis=0)).tolist())
+    bb_hi = tuple(np.asarray(jnp.max(geom['v0'], axis=0)).tolist())
+    ref = ppt.intersect_packet(nodes, tris, org, d, tn, tf,
+                               max_leaf=8, interpret=True)
+    got = gridm.intersect_march(grid, org, d, tn, tf, bb_lo, bb_hi,
+                                res=4, kb=2, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref.tri),
+                                  np.asarray(got.tri))
+    np.testing.assert_allclose(
+        np.where(np.isfinite(ref.t), ref.t, 0.0),
+        np.where(np.isfinite(got.t), got.t, 0.0), atol=1e-5)
+    hits = np.asarray(ref.tri) >= 0
+    np.testing.assert_allclose(np.asarray(ref.u)[hits],
+                               np.asarray(got.u)[hits], atol=1e-4)
+
+
 def test_dense_binned_matches_plain():
     """Treelet-binned dense sweeps (intersect/occluded_dense_binned) are
     exact: identical to the packet kernel at every round count."""

@@ -39,11 +39,15 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
 from .intersect import Hit
 from . import pallas_pairs as ppp
 from . import pallas_traverse as ppt
 
 INF = float(np.inf)
+BIGC = 1 << 30
 
 
 def build_grid(host: dict, res: int = 8):
@@ -300,3 +304,268 @@ def occluded_grid(grid, nodes, tris, org, dirn, tnear, tfar,
         max_leaf=max_leaf, interpret=interpret, hbm=hbm,
         use_cull=use_cull)
     return occ & ~dead
+
+
+# ---------------------------------------------------------------------------
+# In-kernel grid march — the whole DDA inside ONE Pallas kernel.
+#
+# The round-based orchestration above is exact but pays XLA regrouping
+# (argsort/scatter, ~40-80 ms/Mray) and pallas dispatch every round.
+# This kernel moves the entire march on-chip: rays are sorted ONCE (by
+# entry cell + origin Morton), then each 16-ray group marches its rays'
+# cells with a shared 3D-DDA wavefront:
+#
+#   repeat until every ray retires:
+#     c  <- smallest current-cell id among live rays           (scalar)
+#     if c not in the group's visited mask:                    (SMEM bit)
+#         densely sweep cell c's tri tiles vs ALL 16 rays      (VPU)
+#     advance the rays currently in c by one DDA step          (vector)
+#     retire rays whose next entry exceeds their best hit
+#
+# Because every sweep tests every ray of the group, the FIRST sweep of a
+# cell covers all (ray, cell) pairs the group will ever need — skipping
+# re-visits via the mask is exact, and each ray still observes its own
+# cells in near-to-far order, so termination against the running best-t
+# is exact too (the uniform-grid argument; no fallback pass needed).
+# ---------------------------------------------------------------------------
+
+MRT = 2                   # ray-tiles per marching group (16 rays)
+
+
+def _axis_advance(adv, tnx, tny, tnz, tdx, tdy, tdz,
+                  cix, ciy, ciz, sx, sy, sz):
+    """One masked DDA step for the advancing rays.  Ties break x>y>z."""
+    amin = jnp.minimum(tnx, jnp.minimum(tny, tnz))
+    gox = adv & (tnx <= amin)
+    goy = adv & ~gox & (tny <= amin)
+    goz = adv & ~gox & ~goy
+    cix = jnp.where(gox, cix + sx, cix)
+    ciy = jnp.where(goy, ciy + sy, ciy)
+    ciz = jnp.where(goz, ciz + sz, ciz)
+    tnx = jnp.where(gox, tnx + tdx, tnx)
+    tny = jnp.where(goy, tny + tdy, tny)
+    tnz = jnp.where(goz, tnz + tdz, tnz)
+    return amin, cix, ciy, ciz, tnx, tny, tnz
+
+
+def _kernel_march(planes_ref, clo_ref, chi_ref, rays_ref,
+                  t_out, tri_out, tb_ref, ib_ref, seen_ref,
+                  res: int, kb: int, use_cull: bool,
+                  grid_lo, cellsz):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (ppp.RB, ppp.TL), 1)
+    nwords = (res ** 3 + 31) // 32
+    for j in range(kb):
+        # -- per-group init ------------------------------------------------
+        for w in range(nwords):
+            seen_ref[w] = 0
+        rays = ppp._ray_slices(rays_ref, j, MRT)
+        tb_ref[:] = jnp.full(tb_ref.shape, INF)
+        ib_ref[:] = jnp.full(ib_ref.shape, -1, jnp.int32)
+
+        state = []            # per tile: cix,ciy,ciz,tnx,tny,tnz,entry,live
+        consts = []           # per tile: tdx,tdy,tdz,sx,sy,sz
+        for k in range(MRT):
+            ox, oy, oz, dx, dy, dz, tn, tf = rays[k]
+
+            def axis(o, d, lo, cs):
+                safe = jnp.where(jnp.abs(d) > 1e-30, d,
+                                 jnp.where(d >= 0, 1e-30, -1e-30))
+                inv = 1.0 / safe
+                t0a = (lo - o) * inv
+                t1a = (lo + res * cs - o) * inv
+                return inv, jnp.minimum(t0a, t1a), jnp.maximum(t0a, t1a)
+
+            ivx, lx, hx = axis(ox, dx, grid_lo[0], cellsz[0])
+            ivy, ly, hy = axis(oy, dy, grid_lo[1], cellsz[1])
+            ivz, lz, hz = axis(oz, dz, grid_lo[2], cellsz[2])
+            tmin = jnp.maximum(jnp.maximum(lx, ly), lz)
+            tmax = jnp.minimum(jnp.minimum(hx, hy), hz)
+            t0 = jnp.maximum(tmin, tn)
+            inside = (t0 <= tmax) & (tf > tn) & (t0 <= tf)
+
+            def cell0(o, d, iv, lo, cs):
+                p = o + d * (t0 + 1e-6)
+                ci = jnp.clip(((p - lo) / cs).astype(jnp.int32), 0,
+                              res - 1)
+                s = jnp.where(d >= 0, 1, -1).astype(jnp.int32)
+                nxt = lo + (ci + (s > 0)).astype(jnp.float32) * cs
+                tnx = jnp.where(jnp.abs(d) > 1e-30, (nxt - o) * iv, INF)
+                td = jnp.where(jnp.abs(d) > 1e-30, jnp.abs(cs * iv), INF)
+                return ci, s, tnx, td
+
+            cix, sx, tnx, tdx = cell0(ox, dx, ivx, grid_lo[0], cellsz[0])
+            ciy, sy, tny, tdy = cell0(oy, dy, ivy, grid_lo[1], cellsz[1])
+            ciz, sz, tnz, tdz = cell0(oz, dz, ivz, grid_lo[2], cellsz[2])
+            state += [cix, ciy, ciz, tnx, tny, tnz, t0,
+                      inside.astype(jnp.int32)]
+            consts.append((tdx, tdy, tdz, sx, sy, sz, tn, tf))
+
+        def cond(st):
+            anylive = jnp.bool_(False)
+            for k in range(MRT):
+                anylive = anylive | jnp.any(st[8 * k + 7] > 0)
+            return anylive
+
+        def body(st):
+            # smallest live cell id across the group
+            c = jnp.int32(BIGC)
+            cids = []
+            for k in range(MRT):
+                cix, ciy, ciz = st[8 * k], st[8 * k + 1], st[8 * k + 2]
+                live = st[8 * k + 7]
+                cid = (cix * res + ciy) * res + ciz
+                cids.append(cid)
+                c = jnp.minimum(c, jnp.min(jnp.where(live > 0, cid,
+                                                     BIGC)))
+            word = c // 32
+            bit = c % 32
+            wsafe = jnp.clip(word, 0, nwords - 1)
+            seen = (seen_ref[wsafe] >> bit) & 1
+
+            @pl.when((seen == 0) & (c < BIGC))
+            def _sweep():
+                seen_ref[wsafe] = seen_ref[wsafe] | (1 << bit)
+                g0 = clo_ref[jnp.clip(c, 0, res ** 3 - 1)]
+                g1 = chi_ref[jnp.clip(c, 0, res ** 3 - 1)]
+
+                def tile(g, _):
+                    p = planes_ref[g]
+                    idx = g * ppp.TL + lane
+                    for k in range(MRT):
+                        ox, oy, oz, dx, dy, dz, tn, tf = rays[k]
+                        tb = tb_ref[8 * k:8 * (k + 1), :]
+                        ok, th = ppp._pair_tile(
+                            p, ox, oy, oz, dx, dy, dz, tn,
+                            jnp.minimum(tf, tb), use_cull)
+                        tb_ref[8 * k:8 * (k + 1), :] = jnp.where(
+                            ok, th, tb)
+                        ib = ib_ref[8 * k:8 * (k + 1), :]
+                        ib_ref[8 * k:8 * (k + 1), :] = jnp.where(
+                            ok, idx, ib)
+                    return 0
+
+                jax.lax.fori_loop(g0, g1, tile, 0)
+
+            out = []
+            for k in range(MRT):
+                (tdx, tdy, tdz, sx, sy, sz, tn, tf) = consts[k]
+                cix, ciy, ciz = st[8 * k], st[8 * k + 1], st[8 * k + 2]
+                tnx, tny, tnz = st[8 * k + 3], st[8 * k + 4], st[8 * k + 5]
+                entry, live = st[8 * k + 6], st[8 * k + 7]
+                adv = (live > 0) & (cids[k] == c)
+                amin, cix, ciy, ciz, tnx, tny, tnz = _axis_advance(
+                    adv, tnx, tny, tnz, tdx, tdy, tdz,
+                    cix, ciy, ciz, sx, sy, sz)
+                entry = jnp.where(adv, amin, entry)
+                inside = ((cix >= 0) & (cix < res) & (ciy >= 0)
+                          & (ciy < res) & (ciz >= 0) & (ciz < res))
+                bound = jnp.minimum(
+                    tf, jnp.min(tb_ref[8 * k:8 * (k + 1), :], axis=1,
+                                keepdims=True))
+                live = ((live > 0) & (~adv | inside)
+                        & (entry <= bound)).astype(jnp.int32)
+                out += [cix, ciy, ciz, tnx, tny, tnz, entry, live]
+            return tuple(out)
+
+        jax.lax.while_loop(cond, body, tuple(state))
+
+        # -- epilogue: per-lane best -> per-ray best ----------------------
+        for k in range(MRT):
+            tb = tb_ref[8 * k:8 * (k + 1), :]
+            ib = ib_ref[8 * k:8 * (k + 1), :]
+            tm = jnp.min(tb, axis=1, keepdims=True)
+            hitl = tb <= tm
+            lsel = jnp.min(jnp.where(hitl, lane, ppp.TL), axis=1,
+                           keepdims=True)
+            at = lane == lsel
+            tri = jnp.max(jnp.where(at, ib, -1), axis=1, keepdims=True)
+            r0 = (j * MRT + k) * ppp.RB
+            t_out[r0:r0 + ppp.RB, :] = tm
+            tri_out[r0:r0 + ppp.RB, :] = jnp.where(tm < INF, tri, -1)
+
+
+@partial(jax.jit, static_argnames=('res', 'kb', 'use_cull', 'interpret',
+                                   'grid_lo_t', 'cellsz_t'))
+def _march_raw(planes, clo, chi, org, dirn, tnear, tfar,
+               grid_lo_t, cellsz_t, res: int = 8, kb: int = 8,
+               use_cull: bool = True, interpret: bool = False):
+    r = org.shape[0]
+    pblk = ppp.RB * MRT * kb
+    assert r % pblk == 0, f"ray count must be a multiple of {pblk}"
+    nwords = (res ** 3 + 31) // 32
+
+    def kernel(planes_ref, clo_ref, chi_ref, rays_ref, t_out, tri_out,
+               tb_ref, ib_ref, seen_ref):
+        _kernel_march(planes_ref, clo_ref, chi_ref, rays_ref,
+                      t_out, tri_out, tb_ref, ib_ref, seen_ref,
+                      res=res, kb=kb, use_cull=use_cull,
+                      grid_lo=grid_lo_t, cellsz=cellsz_t)
+
+    def ob():
+        return pl.BlockSpec((pblk, 1), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    t, tri = pl.pallas_call(
+        kernel,
+        grid=(r // pblk,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((pblk, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[ob(), ob()],
+        out_shape=[jax.ShapeDtypeStruct((r, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((r, 1), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((ppp.RB * MRT, ppp.TL), jnp.float32),
+                        pltpu.VMEM((ppp.RB * MRT, ppp.TL), jnp.int32),
+                        pltpu.SMEM((nwords,), jnp.int32)],
+        interpret=interpret,
+    )(planes, clo, chi, ppp._pack_rays(org, dirn, tnear, tfar))
+    return t[:, 0], tri[:, 0]
+
+
+@partial(jax.jit, static_argnames=('res', 'kb', 'use_cull', 'interpret',
+                                   'bbox_lo', 'bbox_hi', 'grid_lo_t',
+                                   'cellsz_t'))
+def _march_sorted(grid, org, dirn, tnear, tfar, bbox_lo, bbox_hi,
+                  grid_lo_t, cellsz_t, res: int = 8, kb: int = 8,
+                  use_cull: bool = True, interpret: bool = False):
+    ci, _, _, _, t0, inside = _dda_init(grid['grid_lo'],
+                                        grid['grid_hi'], res, org, dirn,
+                                        tnear)
+    cid0 = _cell_id(ci, res)
+    key = ppt._ray_sort_key(org, dirn, jnp.asarray(bbox_lo),
+                            jnp.asarray(bbox_hi))
+    k = (jnp.where(inside & (tfar > tnear), cid0.astype(jnp.uint32),
+                   jnp.uint32(res ** 3)) << jnp.uint32(18)) \
+        | (key & jnp.uint32(0x3FFFF))
+    perm = jnp.argsort(k)
+    t_p, i_p = _march_raw(grid['planes'], grid['cell_tile_lo'],
+                          grid['cell_tile_hi'], org[perm], dirn[perm],
+                          tnear[perm], tfar[perm], grid_lo_t, cellsz_t,
+                          res=res, kb=kb, use_cull=use_cull,
+                          interpret=interpret)
+    t = jnp.zeros_like(t_p).at[perm].set(t_p)
+    idx = jnp.zeros_like(i_p).at[perm].set(i_p)
+    tri = jnp.where(idx >= 0, grid['tri_orig'][jnp.maximum(idx, 0)], -1)
+    u, v = ppp.recompute_uv(grid['rows'], org, dirn, t, idx)
+    t = jnp.where(tri >= 0, t, INF)
+    return Hit(t, tri, u, v)
+
+
+def intersect_march(grid, org, dirn, tnear, tfar, bbox_lo, bbox_hi,
+                    res: int = 8, kb: int = 8, use_cull: bool = True,
+                    interpret: bool = False) -> Hit:
+    """Exact closest-hit, fully in-kernel (no fallback): sort rays once
+    by (entry cell, origin Morton), march every 16-ray group through the
+    grid on-chip, unsort.  The grid bounds are host-built constants;
+    this unjitted wrapper materializes them as static kernel params
+    (everything heavy runs inside _march_sorted's jit)."""
+    glo_np = np.asarray(grid['grid_lo'])
+    ghi_np = np.asarray(grid['grid_hi'])
+    grid_lo_t = tuple(float(x) for x in glo_np)
+    cellsz_t = tuple(float((ghi_np[i] - glo_np[i]) / res)
+                     for i in range(3))
+    return _march_sorted(grid, org, dirn, tnear, tfar, bbox_lo, bbox_hi,
+                         grid_lo_t, cellsz_t, res=res, kb=kb,
+                         use_cull=use_cull, interpret=interpret)
