@@ -132,7 +132,10 @@ class SceneBuilder:
             # the packet kernel keeps the flat BVH in SMEM (1 MB): grow
             # leaves until the node table fits (big scenes stream their
             # triangles from HBM anyway, so fat leaves cost little)
-            while tree.num_nodes > MAX_SMEM_NODES and leaf_size < 128:
+            # multi-million-triangle scenes keep growing leaves past 128
+            # (the node table MUST fit SMEM; fat leaves only add DMA'd
+            # rows per visit, the graceful direction at this scale)
+            while tree.num_nodes > MAX_SMEM_NODES and leaf_size < 512:
                 leaf_size = min(leaf_size * 2, 128)
                 tree = gbvh.build(packed.v0, packed.e1, packed.e2,
                                   packed.valid, leaf_size=leaf_size,
