@@ -135,8 +135,12 @@ def render_frame(scene, camera, params, width: int, height: int, spp: int,
             # kills executions past ~1-2 min (observed on v5e: a 1536^2
             # spp-4-folded depth-10 dispatch crashes the worker; the
             # same work split into per-sample passes completes).
+            # 2^24/depth rays per pass: measured safe (a 4M-ray depth-4
+            # pass runs ~3.5 s, far under the watchdog) and each 2x of
+            # wavefront width buys a few percent (tighter Morton cells
+            # for the incoherent kernels, fewer sorts/dispatches)
             max_rays_per_pass = max(1 << 18,
-                                    (1 << 23) // max(params.max_depth, 1))
+                                    (1 << 24) // max(params.max_depth, 1))
             # MUST stay a multiple of the Pallas packet BLOCK (1024):
             # a non-multiple silently falls back to the XLA gather path,
             # whose one dispatch runs minutes and trips the watchdog
