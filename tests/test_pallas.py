@@ -253,6 +253,38 @@ def _planes(geom):
     return jnp.asarray(planes), jnp.asarray(rows)
 
 
+def test_fat_leaf_packet_matches_brute():
+    """max_leaf=256 (the multi-million-triangle growth path — node table
+    must fit SMEM, so commit grows leaves past 128): the packet kernels'
+    leaf machinery stays exact at fat leaf sizes."""
+    nodes, tris, geom, _ = _build([
+        primitives.tessellate_sphere([0, 0, 0], 1.0, 16, 24),
+        primitives.quad([-5, -1.2, -5], [5, -1.2, -5], [5, -1.2, 5],
+                        [-5, -1.2, 5]),
+    ], leaf_size=256)
+    rs = np.random.RandomState(1)
+    R = ppt.BLOCK
+    org = jnp.asarray(rs.randn(R, 3).astype(np.float32) * 3)
+    d = rs.randn(R, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    tn = jnp.full((R,), 1e-4)
+    tf = jnp.full((R,), jnp.inf)
+    hit = ppt.intersect_packet(nodes, tris, org, d, tn, tf,
+                               max_leaf=256, interpret=True)
+    ref = intersect.intersect_brute(geom, org, d, tn, tf, block=64)
+    both = np.isfinite(np.asarray(ref.t))
+    assert (np.isfinite(np.asarray(hit.t)) == both).all()
+    assert (np.asarray(hit.tri)[both] == np.asarray(ref.tri)[both]).all()
+    occ = ppt.occluded_packet(nodes, tris, org, d, tn,
+                              jnp.full((R,), 3.0), max_leaf=256,
+                              interpret=True)
+    refo = intersect.intersect_brute(geom, org, d, tn,
+                                     jnp.full((R,), 3.0), block=64)
+    np.testing.assert_array_equal(np.asarray(occ),
+                                  np.isfinite(np.asarray(refo.t)))
+
+
 def test_precomputed_perm_matches_sorted():
     """occluded_packet_sorted(perm=...) — the integrator's shared
     hit-point sort for NEE shadow batches — must agree with the
