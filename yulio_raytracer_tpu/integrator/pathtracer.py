@@ -481,7 +481,9 @@ def trace(scene, params: PTParams, org, dirn, seed, pixel_id, sample_id,
             # whole nl*r batch (an nl*r argsort costs ~40-50 ms/Mray on
             # v5e — the single largest wavefront-binning cost)
             shadow_perm = None
-            if sort_rays and nl > 0:
+            # only the morton binning branch of _occluded consumes perm;
+            # grid/dense/treelet/none would pay the argsort for nothing
+            if sort_rays and nl > 0 and params.ray_binning == 'morton':
                 from ..ops import pallas_traverse as _ppt
                 p0 = _ppt.hitpoint_sort_perm(
                     dg['P'], scene.bbox_lo, scene.bbox_hi,

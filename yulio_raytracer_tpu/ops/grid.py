@@ -152,7 +152,12 @@ def _dda_init(grid_lo, grid_hi, res, org, dirn, tnear):
     t0 = jnp.maximum(tmin, tnear)
     inside = t0 <= tmax
     cellsz = (grid_hi - grid_lo) / res
-    pos = org + dirn * (t0[:, None] + 1e-6)
+    # nudge scaled to cell size (an absolute 1e-6 breaks scenes whose
+    # cells are themselves ~1e-6 world units: the ray lands in the wrong
+    # entry cell and skips its triangles)
+    nudge = 1e-4 * jnp.min(cellsz) / jnp.maximum(
+        jnp.max(jnp.abs(dirn), axis=-1), 1e-30)
+    pos = org + dirn * (t0 + nudge)[:, None]
     ci = jnp.clip(((pos - grid_lo) / cellsz).astype(jnp.int32), 0,
                   res - 1)
     step = jnp.where(dirn >= 0, 1, -1).astype(jnp.int32)

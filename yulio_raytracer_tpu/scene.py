@@ -136,7 +136,7 @@ class SceneBuilder:
             # (the node table MUST fit SMEM; fat leaves only add DMA'd
             # rows per visit, the graceful direction at this scale)
             while tree.num_nodes > MAX_SMEM_NODES and leaf_size < 512:
-                leaf_size = min(leaf_size * 2, 128)
+                leaf_size = min(leaf_size * 2, 512)
                 tree = gbvh.build(packed.v0, packed.e1, packed.e2,
                                   packed.valid, leaf_size=leaf_size,
                                   bounds=mb_bounds)
