@@ -84,3 +84,53 @@ def test_sharded_render_odd_size():
     out = np.asarray(accum.resolve(film))
     assert out.shape == (14, 18, 3)
     assert np.isfinite(out).all()
+
+
+def test_production_mesh_render_frame_bit_identical():
+    """The PRODUCTION multi-chip path (renderer.render_frame(mesh=...),
+    the -devices/-connect seam): bit-identical across runs on a fixed
+    mesh, ulp-tight vs single-chip (XLA associates per-shard shapes
+    differently), incl. odd frame sizes needing pixel padding, and
+    progress/stop plumbed."""
+    from yulio_raytracer_tpu import renderer as grenderer
+    from yulio_raytracer_tpu.io import builtin_scenes
+    from yulio_raytracer_tpu.integrator import pathtracer as pt
+    from yulio_raytracer_tpu.parallel import sharding
+    import numpy as np
+
+    scene = builtin_scenes.cornell_box(with_boxes=False).commit()
+    params = pt.PTParams(max_depth=2)
+    mesh = sharding.make_mesh(8)
+    for (w, h) in [(32, 32), (37, 13)]:
+        cam = builtin_scenes.cornell_camera(w, h)
+        fracs = []
+        f1, _ = grenderer.render_frame(scene, cam, params, w, h, 2, seed=5)
+        fn, _ = grenderer.render_frame(scene, cam, params, w, h, 2, seed=5,
+                                       mesh=mesh,
+                                       progress_cb=fracs.append)
+        a, b = np.asarray(f1.rgb_sum), np.asarray(fn.rgb_sum)
+        np.testing.assert_allclose(a, b, rtol=3e-6, atol=3e-7)
+        fn2, _ = grenderer.render_frame(scene, cam, params, w, h, 2,
+                                        seed=5, mesh=mesh)
+        assert np.array_equal(b, np.asarray(fn2.rgb_sum)), (w, h)
+        assert fracs and fracs[-1] == 1.0
+    # stop flag short-circuits the pass loop
+    stopped, _ = grenderer.render_frame(scene, cam, params, 37, 13, 2,
+                                        seed=5, mesh=mesh,
+                                        stop_flag=lambda: True)
+    assert float(np.abs(np.asarray(stopped.rgb_sum)).sum()) == 0.0
+
+
+def test_production_mesh_rejects_tri_axis():
+    from yulio_raytracer_tpu import renderer as grenderer
+    from yulio_raytracer_tpu.io import builtin_scenes
+    from yulio_raytracer_tpu.integrator import pathtracer as pt
+    from yulio_raytracer_tpu.parallel import sharding
+    import pytest
+
+    scene = builtin_scenes.cornell_box(with_boxes=False).commit()
+    cam = builtin_scenes.cornell_camera(16, 16)
+    mesh = sharding.make_mesh(8, tri_parallel=2)
+    with pytest.raises(ValueError):
+        grenderer.render_frame(scene, cam, pt.PTParams(max_depth=2),
+                               16, 16, 1, mesh=mesh)

@@ -19,6 +19,9 @@ import numpy as np
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
 
+    from ..utils import compile_cache
+    compile_cache.enable()
+
     from ..io import ecs as gecs
     from ..scene import SceneBuilder
 
@@ -153,6 +156,8 @@ def _fpr_pipeline(dae_path: str):
                     params.t_max_shadow_ray = float(val)
                 elif key in ('waterMark',):
                     params.watermark = val in ('1', 'true')
+                elif key in ('devices',):
+                    params.devices = int(val)
     session = RenderSession()
     if not session.start(dae_path, params):
         print(f"error: {session.last_error().name}", file=sys.stderr)

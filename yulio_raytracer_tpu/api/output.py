@@ -30,6 +30,23 @@ def params_from_settings(settings: gecs.RenderSettings) -> pt.PTParams:
     )
 
 
+def settings_mesh(settings: gecs.RenderSettings):
+    """Device mesh for the production render paths (the `-connect`
+    device-selection seam, renderer.cpp:948-956): settings.devices = 1
+    renders single-chip, 0 fans out over every visible chip, N over the
+    first N.  Returns None when no fan-out applies."""
+    if settings.devices == 1:
+        return None
+    import jax
+    from ..parallel import sharding
+    avail = len(jax.devices())
+    n = settings.devices if settings.devices > 0 else avail
+    n = min(n, avail)
+    if n <= 1:
+        return None
+    return sharding.make_mesh(n)
+
+
 def mono_camera(settings: gecs.RenderSettings):
     """createCamera (renderer.cpp:310-349): pinhole, or DoF when radius>0."""
     l2w = gcam.look_at(settings.cam_pos, settings.cam_look_at,
@@ -47,6 +64,7 @@ def render_mono(scene, settings: gecs.RenderSettings, out_file: str,
     """outputMode mono path (renderer.cpp:882-904): render -o image."""
     camera = mono_camera(settings)
     params = params_from_settings(settings)
+    mesh = settings_mesh(settings)
     film = None
     stats_total = None
     for frame in range(max(settings.num_frames, 1)):
@@ -56,7 +74,7 @@ def render_mono(scene, settings: gecs.RenderSettings, out_file: str,
             accumulate=bool(settings.accumulate) or frame == 0,
             seed=seed, backplate=_bp(settings),
             pixel_filter=settings.pixel_filter,
-            progress_cb=progress_cb, stop_flag=stop_flag)
+            progress_cb=progress_cb, stop_flag=stop_flag, mesh=mesh)
         stats_total = stats
     img = tonemap.tonemap(accum.resolve(film), gamma=settings.gamma,
                           vignetting=settings.vignetting)
@@ -95,6 +113,7 @@ def render_stereo(sb, settings: gecs.RenderSettings, rigs,
     # square cube faces (renderer.cpp:529-533)
     size = max(settings.width, settings.height)
     params = params_from_settings(settings)
+    mesh = settings_mesh(settings)
 
     written = []
     saved = []
@@ -128,7 +147,7 @@ def render_stereo(sb, settings: gecs.RenderSettings, rigs,
                 progress_cb=(lambda f: progress_cb(
                     (ci * 12 + face_index + f) / total_faces))
                 if progress_cb else None,
-                stop_flag=stop_flag)
+                stop_flag=stop_flag, mesh=mesh)
             img = np.asarray(tonemap.tonemap(accum.resolve(film),
                                              gamma=settings.gamma,
                                              vignetting=settings.vignetting))

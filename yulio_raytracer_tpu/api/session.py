@@ -59,6 +59,9 @@ class ParamsRT:
     threads_priority: int = 0      # accepted for parity; XLA schedules work
     watermark: bool = False
     face_culling_mode: str = "default"
+    # multi-chip pixel fan-out (the -connect analog): 1 = single chip,
+    # 0 = every visible chip, N = first N
+    devices: int = 1
 
 
 class _Tracker:
@@ -139,6 +142,8 @@ class RenderSession:
             self._tracker.add_error(ErrorCodeRT.MissingColladaFile)
             return False
 
+        from ..utils import compile_cache
+        compile_cache.enable()
         self._stop.clear()
         self._tracker.set_state(StateRT.Initialiazing)
         self._thread = threading.Thread(
@@ -195,6 +200,7 @@ class RenderSession:
                 watermark=p.watermark,
                 face_culling_mode=p.face_culling_mode,
                 gamma=1.0,
+                devices=p.devices,
             )
             sb = SceneBuilder()
             result = gcollada.load_dae(collada_file, settings, sb,

@@ -197,20 +197,14 @@ def to_device(packed: "PackedGeometry", with_woop: bool = True) -> dict:
         return {**to_device(packed, with_woop=False),
                 'woop': jnp.asarray(woop_matrices(
                     packed.v0, packed.e1, packed.e2, packed.valid))}
-    return add_shade_table({
-        'v0': jnp.asarray(packed.v0),
-        'e1': jnp.asarray(packed.e1),
-        'e2': jnp.asarray(packed.e2),
-        'ng': jnp.asarray(packed.ng),
-        'vn': jnp.asarray(packed.vn),
-        'uv': jnp.asarray(packed.uv),
-        'mat_id': jnp.asarray(packed.mat_id),
-        'light_id': jnp.asarray(packed.light_id),
-        'cull': jnp.asarray(packed.cull),
-        'illum_mask': jnp.asarray(packed.illum_mask),
-        'shadow_mask': jnp.asarray(packed.shadow_mask),
-        'valid': jnp.asarray(packed.valid),
+    host = add_shade_table({
+        'v0': packed.v0, 'e1': packed.e1, 'e2': packed.e2,
+        'ng': packed.ng, 'vn': packed.vn, 'uv': packed.uv,
+        'mat_id': packed.mat_id, 'light_id': packed.light_id,
+        'cull': packed.cull, 'illum_mask': packed.illum_mask,
+        'shadow_mask': packed.shadow_mask, 'valid': packed.valid,
     })
+    return {k: jnp.asarray(v) for k, v in host.items()}
 
 
 def tangent_frames(e1: np.ndarray, e2: np.ndarray, uv: np.ndarray,
@@ -244,31 +238,34 @@ def tangent_frames(e1: np.ndarray, e2: np.ndarray, uv: np.ndarray,
 def add_shade_table(geom: dict) -> dict:
     """Pack the per-triangle shading attributes into one (T, 28) f32 table
     so post_intersect needs a single (fusable, matmul-able) row gather:
-    [ng(3) | vn(9) | uv(6) | mat | light | illum | shadow | tx(3) | ty(3)]."""
-    import jax.numpy as jnp
+    [ng(3) | vn(9) | uv(6) | mat | light | illum | shadow | tx(3) | ty(3)].
+
+    Pure host-side numpy: commit() moves the finished tables to the
+    device in one shot (interleaving tiny device ops here costs minutes
+    on a tunneled TPU)."""
     t = geom['ng'].shape[0]
-    geom = dict(geom)
-    tx, ty = tangent_frames(np.asarray(geom['e1']), np.asarray(geom['e2']),
-                            np.asarray(geom['uv']), np.asarray(geom['ng']))
+    geom = {k: np.asarray(v) for k, v in geom.items()}
+    tx, ty = tangent_frames(geom['e1'], geom['e2'],
+                            geom['uv'], geom['ng'])
     if 'ptx' in geom:
         # authored per-vertex tangents win over the uv-derived frame
         # (NaN rows mark triangles without authored tangents)
-        ptx = np.asarray(geom.pop('ptx'))
-        pty = np.asarray(geom.pop('pty'))
+        ptx = geom.pop('ptx')
+        pty = geom.pop('pty')
         has = np.isfinite(ptx).all(axis=1, keepdims=True)
         tx = np.where(has, np.nan_to_num(ptx), tx).astype(np.float32)
         ty = np.where(has & np.isfinite(pty).all(axis=1, keepdims=True),
                       np.nan_to_num(pty), ty).astype(np.float32)
-    geom['shade_tab'] = jnp.concatenate([
-        geom['ng'].astype(jnp.float32),
-        geom['vn'].reshape(t, 9).astype(jnp.float32),
-        geom['uv'].reshape(t, 6).astype(jnp.float32),
-        geom['mat_id'].astype(jnp.float32)[:, None],
-        geom['light_id'].astype(jnp.float32)[:, None],
-        geom['illum_mask'].astype(jnp.float32)[:, None],
-        geom['shadow_mask'].astype(jnp.float32)[:, None],
-        jnp.asarray(tx),
-        jnp.asarray(ty),
+    geom['shade_tab'] = np.concatenate([
+        geom['ng'].astype(np.float32),
+        geom['vn'].reshape(t, 9).astype(np.float32),
+        geom['uv'].reshape(t, 6).astype(np.float32),
+        geom['mat_id'].astype(np.float32)[:, None],
+        geom['light_id'].astype(np.float32)[:, None],
+        geom['illum_mask'].astype(np.float32)[:, None],
+        geom['shadow_mask'].astype(np.float32)[:, None],
+        tx,
+        ty,
     ], axis=1)
     return geom
 

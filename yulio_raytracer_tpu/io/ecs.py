@@ -64,6 +64,10 @@ class RenderSettings:
     # pixel reconstruction filter: the reference defaults to b-spline
     # (integratorrenderer.cpp:45-49)
     pixel_filter: str = 'bspline'
+    # multi-chip pixel data parallelism (the `-connect host1 host2 ...`
+    # analog, renderer.cpp:948-956): 1 = single device, 0 = every
+    # visible device, N = first N devices of jax.devices()
+    devices: int = 1
 
 
 class TokenStream:
@@ -245,6 +249,18 @@ def parse(tokens: TokenStream, settings: RenderSettings, sb: SceneBuilder,
         elif tag in ('-scene', '-accel', '-builder', '-traverser',
                      '-device'):
             tokens.get()   # accepted, no-op on TPU (single device kind)
+        elif tag == '-devices':
+            # multi-chip fan-out (the -connect analog): 0 = all chips
+            settings.devices = tokens.get_int()
+        elif tag == '-connect':
+            # reference form: every following non-flag token is a server
+            # (renderer.cpp:948-956); here each "server" is a mesh slot,
+            # so N hostnames select an N-device mesh
+            n = 0
+            while tokens.peek() and not tokens.peek().startswith('-'):
+                tokens.get()
+                n += 1
+            settings.devices = max(n, 1)
         elif tag == '-threads':
             tokens.get()
         elif tag == '-verbose':

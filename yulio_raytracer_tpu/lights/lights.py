@@ -29,16 +29,29 @@ PI = float(np.pi)
 
 # --------------------------------------------------------------- builders
 
+def _np3(x):
+    return np.asarray(x, np.float32)
+
+
+def _npnorm(x):
+    v = np.asarray(x, np.float32)
+    return v / max(float(np.linalg.norm(v)), 1e-20)
+
+
 def ambient(L, illum_mask=-1, shadow_mask=-1):
-    """AmbientLight (ambientlight.h): uniform env light; the dome model."""
-    return {'kind': 'ambient', 'L': jnp.asarray(L, jnp.float32),
-            'bsphere_center': jnp.zeros(3), 'bsphere_radius': jnp.float32(0),
+    """AmbientLight (ambientlight.h): uniform env light; the dome model.
+
+    Builders stay host-side numpy: a jnp array here is a device
+    round-trip per light at scene-build time (~6 s each over a tunneled
+    TPU); commit() moves the arrays to the device once (_split_lights)."""
+    return {'kind': 'ambient', 'L': _np3(L),
+            'bsphere_center': np.zeros(3, np.float32),
+            'bsphere_radius': np.float32(0),
             'illum_mask': illum_mask, 'shadow_mask': shadow_mask}
 
 
 def point(P, I, illum_mask=-1, shadow_mask=-1):
-    return {'kind': 'point', 'P': jnp.asarray(P, jnp.float32),
-            'I': jnp.asarray(I, jnp.float32),
+    return {'kind': 'point', 'P': _np3(P), 'I': _np3(I),
             'illum_mask': illum_mask, 'shadow_mask': shadow_mask}
 
 
@@ -47,40 +60,33 @@ def spot(P, D, I, angle_min_deg, angle_max_deg, illum_mask=-1,
     """spotlight.h:42-45: the stored axis is -normalize(D) (compared
     against the surface->light direction) and the cone parameters are
     cosines of HALF the given angles."""
-    return {'kind': 'spot', 'P': jnp.asarray(P, jnp.float32),
-            'D': -jnp.asarray(vm.normalize(jnp.asarray(D, jnp.float32))),
-            'I': jnp.asarray(I, jnp.float32),
-            'cos_min': jnp.float32(np.cos(0.5 * np.deg2rad(angle_min_deg))),
-            'cos_max': jnp.float32(np.cos(0.5 * np.deg2rad(angle_max_deg))),
+    return {'kind': 'spot', 'P': _np3(P),
+            'D': -_npnorm(D), 'I': _np3(I),
+            'cos_min': np.float32(np.cos(0.5 * np.deg2rad(angle_min_deg))),
+            'cos_max': np.float32(np.cos(0.5 * np.deg2rad(angle_max_deg))),
             'illum_mask': illum_mask, 'shadow_mask': shadow_mask}
 
 
 def directional(D, E, illum_mask=-1, shadow_mask=-1):
-    return {'kind': 'directional',
-            'wo': -vm.normalize(jnp.asarray(D, jnp.float32)),
-            'E': jnp.asarray(E, jnp.float32),
+    return {'kind': 'directional', 'wo': -_npnorm(D), 'E': _np3(E),
             'illum_mask': illum_mask, 'shadow_mask': shadow_mask}
 
 
 def distant(D, L, half_angle_deg, illum_mask=-1, shadow_mask=-1):
     ha = float(np.deg2rad(half_angle_deg))
-    return {'kind': 'distant',
-            'wo': -vm.normalize(jnp.asarray(D, jnp.float32)),
-            'L': jnp.asarray(L, jnp.float32),
-            'half_angle': jnp.float32(ha),
-            'cos_half': jnp.float32(np.cos(ha)),
+    return {'kind': 'distant', 'wo': -_npnorm(D), 'L': _np3(L),
+            'half_angle': np.float32(ha),
+            'cos_half': np.float32(np.cos(ha)),
             'illum_mask': illum_mask, 'shadow_mask': shadow_mask}
 
 
 def triangle(v0, v1, v2, L, illum_mask=-1, shadow_mask=-1):
-    v0 = jnp.asarray(v0, jnp.float32)
-    v1 = jnp.asarray(v1, jnp.float32)
-    v2 = jnp.asarray(v2, jnp.float32)
+    v0, v1, v2 = _np3(v0), _np3(v1), _np3(v2)
     return {'kind': 'triangle', 'v0': v0, 'v1': v1, 'v2': v2,
-            'L': jnp.asarray(L, jnp.float32),
+            'L': _np3(L),
             # unnormalized Ng = cross(e1, e2) with e1 = v0 - v1, e2 = v2 - v0
             # (trianglelight.h:39) — |Ng| = 2*area feeds the pdf
-            'Ng': vm.cross(v0 - v1, v2 - v0),
+            'Ng': np.cross(v0 - v1, v2 - v0).astype(np.float32),
             'illum_mask': illum_mask, 'shadow_mask': shadow_mask}
 
 
@@ -95,12 +101,16 @@ def hdri(image: np.ndarray, L=(1, 1, 1), local2world=None,
     ys = (np.arange(h) + 0.5) / h
     importance = np.sin(np.pi * ys)[:, None] * img.sum(axis=-1)
     d2 = dist.build_2d(importance)
-    l2w = (jnp.asarray(local2world, jnp.float32) if local2world is not None
-           else vm.affine_identity())
-    return {'kind': 'hdri', 'image': jnp.asarray(img),
-            'L': jnp.asarray(L, jnp.float32),
+    l2w = (np.asarray(local2world, np.float32) if local2world is not None
+           else np.concatenate([np.eye(3, dtype=np.float32),
+                                np.zeros((1, 3), np.float32)]))
+    linv = np.linalg.inv(l2w[:3, :]).astype(np.float32)
+    w2l = np.concatenate([linv, (-l2w[3, :] @ linv)[None, :]]) \
+        .astype(np.float32)
+    return {'kind': 'hdri', 'image': img,
+            'L': _np3(L),
             'width': w, 'height': h, 'dist': d2,
-            'local2world': l2w, 'world2local': vm.affine_inverse(l2w),
+            'local2world': l2w, 'world2local': w2l,
             'illum_mask': illum_mask, 'shadow_mask': shadow_mask}
 
 
@@ -115,9 +125,9 @@ def set_scene_bounds(light, bbox_lo, bbox_hi):
         return light
     center, radius = vm.bsphere_of_bbox(bbox_lo, bbox_hi)
     out = dict(light)
-    out['bsphere_center'] = jnp.asarray(center)
-    out['bsphere_radius'] = jnp.float32(max(radius * 1.5,
-                                            np.finfo(np.float32).eps))
+    out['bsphere_center'] = np.asarray(center, np.float32)
+    out['bsphere_radius'] = np.float32(max(radius * 1.5,
+                                           np.finfo(np.float32).eps))
     return out
 
 

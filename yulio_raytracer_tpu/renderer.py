@@ -56,14 +56,12 @@ def _trace_one_sample(scene, camera, params, width, height, spp,
                             backplate=backplate, time=time)
 
 
-@partial(jax.jit, static_argnames=('params', 'spp', 'width', 'height',
-                                   'spp_per_pass', 'pixel_filter'))
-def _render_chunk(scene, camera, params, width, height, spp,
-                  pixel_ids, sample0, seed, backplate=None,
-                  spp_per_pass: int = 1, pixel_filter: str = 'box'):
-    """One jitted pass: `spp_per_pass` camera samples for each listed
-    pixel, accumulated on-device in a lax.scan (one dispatch renders the
-    whole sample chunk).  Returns ((B, 3) radiance SUM, ray count)."""
+def _chunk_body(scene, camera, params, width, height, spp,
+                pixel_ids, sample0, seed, backplate,
+                spp_per_pass: int, pixel_filter: str):
+    """`spp_per_pass` camera samples for each listed pixel, accumulated
+    on-device in a lax.scan (one dispatch renders the whole sample
+    chunk).  Returns ((B, 3) radiance SUM, ray count)."""
     seed = jnp.uint32(seed)
 
     def body(carry, s):
@@ -77,6 +75,53 @@ def _render_chunk(scene, camera, params, width, height, spp,
     (rgb_sum, nrays), _ = jax.lax.scan(
         body, init, jnp.arange(spp_per_pass, dtype=jnp.uint32))
     return rgb_sum, nrays
+
+
+@partial(jax.jit, static_argnames=('params', 'spp', 'width', 'height',
+                                   'spp_per_pass', 'pixel_filter'))
+def _render_chunk(scene, camera, params, width, height, spp,
+                  pixel_ids, sample0, seed, backplate=None,
+                  spp_per_pass: int = 1, pixel_filter: str = 'box'):
+    """One jitted single-device pass over _chunk_body."""
+    return _chunk_body(scene, camera, params, width, height, spp,
+                       pixel_ids, sample0, seed, backplate,
+                       spp_per_pass, pixel_filter)
+
+
+@partial(jax.jit, static_argnames=('params', 'spp', 'width', 'height',
+                                   'spp_per_pass', 'pixel_filter', 'mesh'))
+def _render_chunk_sharded(scene, camera, params, width, height, spp,
+                          pixel_ids, sample0, seed, backplate=None,
+                          spp_per_pass: int = 1, pixel_filter: str = 'box',
+                          mesh=None):
+    """One jitted MULTI-DEVICE pass: the same _chunk_body shard_mapped
+    over the mesh's 'px' axis (scene/camera replicated — the reference's
+    one-time scene broadcast to render servers, network_device.cpp:100).
+
+    The caller guarantees len(pixel_ids) divides by the px axis size (and
+    keeps each shard a multiple of the Pallas BLOCK so every device runs
+    the same packet kernels as a single-chip render).  Rays are keyed by
+    absolute (pixel, sample) ids, so renders are bit-identical across
+    runs for a FIXED mesh; across device counts they agree to float
+    association (XLA fuses per-shard shapes differently — observed max
+    1 ulp on CPU)."""
+    from jax.sharding import PartitionSpec as P
+
+    def shard_fn(scene_l, camera_l, pid, s0, bp, seed_l):
+        rgb, nrays = _chunk_body(scene_l, camera_l, params, width, height,
+                                 spp, pid, s0, seed_l, bp,
+                                 spp_per_pass, pixel_filter)
+        return rgb, jax.lax.psum(nrays, 'px')
+
+    repl = lambda tree: jax.tree.map(lambda _: P(), tree)
+    rgb, nrays = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(repl(scene), repl(camera), P('px'), P('px'),
+                  repl(backplate), P()),
+        out_specs=(P('px'), P()),
+        check_vma=False,
+    )(scene, camera, pixel_ids, sample0, backplate, jnp.uint32(seed))
+    return rgb, nrays
 
 
 @lru_cache(maxsize=8)
@@ -112,7 +157,7 @@ def render_frame(scene, camera, params, width: int, height: int, spp: int,
                  max_rays_per_pass: Optional[int] = None,
                  spp_per_pass_cap: int = 8,
                  backplate=None, progress_cb=None, stop_flag=None,
-                 pixel_filter: str = 'box'):
+                 pixel_filter: str = 'box', mesh=None):
     """Render spp samples/pixel into the film (creating it if needed).
 
     Deterministic per (scene, spp, seed, iteration).  Returns
@@ -122,8 +167,24 @@ def render_frame(scene, camera, params, width: int, height: int, spp: int,
     Memory scaling: the dense intersector materializes O(rays x
     tri_block) temporaries, so the per-pass pixel count adapts to the
     scene's triangle count unless max_rays_per_pass overrides it.
+
+    mesh: optional jax.sharding.Mesh with a 'px' axis — each pass is
+    shard_mapped over it (pixel data parallelism, the production
+    multi-chip path: the `-connect` render-server fan-out of
+    renderer.cpp:948-956 expressed as shardings).  Results are
+    bit-identical to the single-device path; chunking, progress, and
+    stop work identically (per-pass budgets scale by the device count).
     """
     import time
+    n_px = 1
+    if mesh is not None:
+        n_px = int(np.prod(list(mesh.shape.values())))
+        if 'tri' in mesh.shape and mesh.shape['tri'] > 1:
+            raise ValueError(
+                "render_frame meshes are pixel-parallel; use "
+                "parallel.sharding.render_frame_sharded for a tri axis")
+        if n_px == 1:
+            mesh = None
     if film is None or not accumulate:
         film = accum.create(height, width)
     npix = width * height
@@ -143,14 +204,24 @@ def render_frame(scene, camera, params, width: int, height: int, spp: int,
                                     (1 << 24) // max(params.max_depth, 1))
             # MUST stay a multiple of the Pallas packet BLOCK (1024):
             # a non-multiple silently falls back to the XLA gather path,
-            # whose one dispatch runs minutes and trips the watchdog
-            max_rays_per_pass = (max_rays_per_pass + 1023) // 1024 * 1024
+            # whose one dispatch runs minutes and trips the watchdog.
+            # On a mesh the budget is per DEVICE: the pass carries
+            # n_px * budget rays, each shard a BLOCK multiple.
+            align = 1024 * n_px
+            max_rays_per_pass = ((max_rays_per_pass * n_px + align - 1)
+                                 // align * align)
             spp_per_pass_cap = 1
         else:
             t_block = min(max(scene.num_triangles, 1), 2048)
             # ~0.75 GB of f32 intermediates per (rays x block) temp set
             max_rays_per_pass = int(min(1 << 21, max(1 << 14,
                                                      (3 << 26) // t_block)))
+            max_rays_per_pass = ((max_rays_per_pass * n_px + n_px - 1)
+                                 // n_px * n_px)
+    elif n_px > 1:
+        align = 1024 * n_px
+        max_rays_per_pass = ((max_rays_per_pass + align - 1)
+                             // align * align)
 
     # split the frame into pixel ranges; each pass renders as many samples
     # per pixel as the ray budget allows, fully on-device
@@ -159,6 +230,11 @@ def render_frame(scene, camera, params, width: int, height: int, spp: int,
     rgb_flat = film.rgb_sum.reshape(npix, 3)
 
     pix_per_pass = max(min(npix, max_rays_per_pass), 1)
+    if n_px > 1:
+        # shard_map divisibility (and per-shard packet BLOCK alignment)
+        palign = 1024 * n_px if scene.bvh is not None else n_px
+        pix_per_pass = min((pix_per_pass + palign - 1) // palign * palign,
+                           max_rays_per_pass)
     n_splits = (npix + pix_per_pass - 1) // pix_per_pass
     # sample-major batching (BVH path): when the whole frame fits in one
     # pass with room to spare, fold several SAMPLES of every pixel into
@@ -167,7 +243,8 @@ def render_frame(scene, camera, params, width: int, height: int, spp: int,
     # incoherent bounce/shadow kernels) and halves dispatch+sort count.
     # k must divide spp so every batch keeps one compiled shape.
     samples_per_batch = 1
-    if scene.bvh is not None and n_splits == 1 and spp > 1:
+    if (scene.bvh is not None and n_splits == 1 and spp > 1
+            and pix_per_pass == npix):
         samples_per_batch = max(1, min(spp, max_rays_per_pass // npix))
         while spp % samples_per_batch:
             samples_per_batch -= 1
@@ -205,11 +282,17 @@ def render_frame(scene, camera, params, width: int, height: int, spp: int,
             pixel_ids = jnp.asarray(order[sel])
             sample0 = jnp.full((pix_per_pass,),
                                np.uint32(iteration * spp + s0))
-        rgb, nrays = _render_chunk(scene, camera, params, width, height,
-                                   spp, pixel_ids, sample0,
-                                   np.uint32(seed), backplate,
-                                   spp_per_pass=nsamp,
-                                   pixel_filter=pixel_filter)
+        if mesh is not None:
+            rgb, nrays = _render_chunk_sharded(
+                scene, camera, params, width, height, spp, pixel_ids,
+                sample0, np.uint32(seed), backplate, spp_per_pass=nsamp,
+                pixel_filter=pixel_filter, mesh=mesh)
+        else:
+            rgb, nrays = _render_chunk(scene, camera, params, width,
+                                       height, spp, pixel_ids, sample0,
+                                       np.uint32(seed), backplate,
+                                       spp_per_pass=nsamp,
+                                       pixel_filter=pixel_filter)
         # scatter back by pixel id (rays run in tiled order; duplicated
         # ids from sample-major batches accumulate via scatter-add)
         if samples_per_batch > 1:

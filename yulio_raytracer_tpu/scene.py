@@ -193,8 +193,8 @@ class SceneBuilder:
             packet = {
                 'tris': jnp.asarray(ppt.pack_tris(host['woop'], host)),
             }
-        geom = gmesh.add_shade_table(
-            {k: jnp.asarray(v) for k, v in host.items()})
+        geom = {k: jnp.asarray(v)
+                for k, v in gmesh.add_shade_table(host).items()}
 
         lights = [glights.set_scene_bounds(l, packed.bbox_lo, packed.bbox_hi)
                   for l in self.lights]
@@ -221,7 +221,15 @@ class SceneBuilder:
 
 def _split_lights(lights):
     """Split light dicts into (array side, hashable static side) so a
-    TpuScene flattens into a clean jit pytree."""
+    TpuScene flattens into a clean jit pytree.  Array leaves move to the
+    device HERE, once — light builders are host-side numpy (a device
+    round-trip per light costs seconds on a tunneled TPU)."""
+    def _dev(v):
+        if isinstance(v, (np.ndarray, np.floating, np.integer)):
+            return jnp.asarray(v)
+        return jax.tree_util.tree_map(jnp.asarray, v) \
+            if isinstance(v, (tuple, list)) else v
+
     arrays, statics = [], []
     for l in lights:
         a, s = {}, {}
@@ -229,7 +237,7 @@ def _split_lights(lights):
             if isinstance(v, (str, bool, int, float)):
                 s[k] = v
             else:
-                a[k] = v
+                a[k] = _dev(v)
         arrays.append(a)
         statics.append(tuple(sorted(s.items())))
     return arrays, tuple(statics)

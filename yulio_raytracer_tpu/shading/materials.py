@@ -310,8 +310,10 @@ def build_table(mats: list[MaterialSpec]) -> dict:
         out['medium_in_trans'][i] = ms.medium_in_trans
     table = {k: jnp.asarray(v) for k, v in out.items()}
     # fused (M, K) f32 matrix so per-hit material lookup is ONE row gather
-    # (matmul-lowered for small M — core.math.small_gather)
-    table['mat_tab'] = jnp.concatenate([
+    # (matmul-lowered for small M — core.math.small_gather); assembled in
+    # numpy — a device concatenate here is a fresh tiny-op compile per
+    # commit (~seconds on a tunneled TPU)
+    table['mat_tab'] = jnp.asarray(np.concatenate([
         out['lobe_type'].astype(np.float32),                  # 0:4
         out['lobe_color'].reshape(m, 12).astype(np.float32),  # 4:16
         out['lobe_cscale'].astype(np.float32),                # 16:20
@@ -331,7 +333,7 @@ def build_table(mats: list[MaterialSpec]) -> dict:
         out['medium_in_trans'].astype(np.float32),            # 74:77
         np.asarray([ms.bump_tex for ms in mats],
                    np.float32)[:, None],                      # 77
-    ], axis=1)
+    ], axis=1))
     return table
 
 
