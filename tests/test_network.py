@@ -108,3 +108,90 @@ def test_jpeg_server_encoding():
     err = np.abs(np.power(np.maximum(img, 0) / 2, 1 / 2.2)
                  - np.power(np.clip(local / 2, 0, None), 1 / 2.2))
     assert float(np.median(err)) < 0.05
+
+
+def test_codec_roundtrip_scene_builder():
+    """The safe wire codec (no pickle) round-trips the full staged scene,
+    cameras, and distribution tables."""
+    sb = builtin_scenes.cornell_box()
+    blob = network.encode_tree(sb)
+    sb2 = network.decode_tree(blob)
+    assert len(sb2.meshes) == len(sb.meshes)
+    assert len(sb2.lights) == len(sb.lights)
+    np.testing.assert_array_equal(sb2.meshes[0].positions,
+                                  sb.meshes[0].positions)
+    cam = builtin_scenes.cornell_camera(8, 8)
+    cam2 = network.decode_tree(network.encode_tree(cam))
+    np.testing.assert_array_equal(np.asarray(cam2.local2world),
+                                  np.asarray(cam.local2world))
+    assert cam2.angle == cam.angle
+    # pickle-style payloads must NOT decode
+    with pytest.raises((ConnectionError, Exception)):
+        network.decode_tree(b'\x80\x04K\x01.')
+
+
+def test_malformed_peer_rejected():
+    """Wrong magick / corrupt payloads raise ConnectionError instead of
+    being interpreted (network_common.h:26 magick + crc hardening)."""
+    import socket as _socket
+    import struct as _struct
+
+    port = 19476
+    server = network.RenderServer(port, single_connection=True)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+
+    # peer with a wrong magick: the server must drop the connection
+    s = _socket.create_connection(('127.0.0.1', port), timeout=10)
+    payload = network.encode_tree({'serverID': 0, 'serverCount': 1})
+    s.sendall(network._FRAME.pack(0xDEADBEEF, network.VERSION,
+                                  network.OP_HELLO, len(payload), 0)
+              + payload)
+    s.settimeout(10)
+    try:
+        assert s.recv(1) == b''     # server closed on us (FIN or RST)
+    except (ConnectionResetError, ConnectionError):
+        pass
+    s.close()
+    server.stop()
+
+    # client side: corrupt crc must raise, not decode
+    a, b = _socket.socketpair()
+    try:
+        good = network.encode_tree({'x': 1})
+        a.sendall(network._FRAME.pack(network.MAGICK, network.VERSION,
+                                      network.OP_FRAME, len(good),
+                                      0x12345678) + good)
+        with pytest.raises(ConnectionError):
+            network._recv(b)
+    finally:
+        a.close()
+        b.close()
+
+
+def test_incremental_light_update():
+    """OP_UPDATE_LIGHT edits a light server-side without reshipping the
+    scene (the incremental opcode-protocol requirement): doubling the
+    quad light's radiance doubles the direct image."""
+    port = 19477
+    server = network.RenderServer(port, single_connection=True)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+
+    sb = builtin_scenes.cornell_box(with_boxes=False)
+    camera = builtin_scenes.cornell_camera(16, 16)
+    params = pt.PTParams(max_depth=1)   # direct light only
+
+    client = network.NetworkClient([('127.0.0.1', port)])
+    client.set_scene(sb)
+    img1, _ = client.render(camera, params, 16, 16, spp=1, seed=3)
+    L0 = np.asarray(sb.lights[0]['L'])
+    client.update_light(0, L=(L0 * 2.0).tolist())
+    client.update_light(1, L=(np.asarray(sb.lights[1]['L']) * 2).tolist())
+    img2, _ = client.render(camera, params, 16, 16, spp=1, seed=3)
+    client.close()
+    server.stop()
+
+    lit = img1.max(axis=-1) > 1e-3
+    assert lit.any()
+    np.testing.assert_allclose(img2[lit], 2.0 * img1[lit], rtol=1e-5)

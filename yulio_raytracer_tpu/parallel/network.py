@@ -13,47 +13,247 @@ distribution for DCN-connected, independently-launched hosts
   command to all (network_device.h:103-110), and merges the returned
   bands (network_device.cpp:268-310).
 
-Protocol: length-prefixed pickled messages (the reference used raw
-opcode-tagged structs with RGBE8/JPEG encodings; on modern links we ship
-f32 rows — add the u8 encodings when bandwidth-bound).  Determinism: band
-assignment only selects *pixels*; the stateless RNG keys by absolute
-pixel id, so the merged image is bit-identical to a single-host render.
+Wire protocol (the opcode-per-command spirit of network_common.h:26-80):
+every frame is `MAGICK u32 | VERSION u16 | opcode u16 | length u64 |
+crc32 u32 | payload`; the magick is the reference's 0x32657845
+(network_common.h:26), the crc covers the payload (per-band integrity —
+a corrupted row band is rejected, not merged), and the payload is a
+restricted self-describing tree codec (scalars, strings, bytes,
+lists/dicts, dtype-whitelisted ndarrays, and a short registry of scene
+dataclasses).  NO pickle anywhere: a malicious peer can produce garbage
+or a ConnectionError, never code execution.
+
+Incremental updates: `OP_UPDATE_LIGHT` patches one light's parameters on
+the server without reshipping the scene (the reference edits any handle
+with a 2-word opcode, network_common.h:29-80; lights are the handles
+whose interactive edits matter).  Determinism: band assignment only
+selects *pixels*; the stateless RNG keys by absolute pixel id, so the
+merged image is bit-identical to a single-host render.
 """
 from __future__ import annotations
 
-import pickle
 import socket
 import struct
 import threading
+import zlib
 from typing import Optional
 
 import numpy as np
 
-_HDR = struct.Struct(">Q")
 MAGICK = 0x32657845   # network_common.h:26
+VERSION = 3           # bump on any wire-format change
+_FRAME = struct.Struct(">IHHQI")   # magick, version, opcode, len, crc32
+
+# opcodes (the EMBREE_* command-id table, network_common.h:29-80)
+OP_HELLO = 1
+OP_SET_SCENE = 2
+OP_RENDER = 3
+OP_FRAME = 4
+OP_UPDATE_LIGHT = 5
+OP_CLOSE = 6
+OP_ERROR = 7
+
+MAX_FRAME_BYTES = 1 << 33    # 8 GiB sanity bound on declared lengths
 
 
-def _send(sock: socket.socket, obj):
-    data = pickle.dumps(obj, protocol=4)
-    sock.sendall(_HDR.pack(len(data)) + data)
+# --------------------------------------------------------------------------
+# safe tree codec (no pickle)
+# --------------------------------------------------------------------------
+
+_T_NONE, _T_BOOL, _T_INT, _T_FLOAT, _T_STR, _T_BYTES = 0, 1, 2, 3, 4, 5
+_T_LIST, _T_TUPLE, _T_DICT, _T_NDARRAY, _T_DATACLASS = 6, 7, 8, 9, 10
+_T_NAMEDTUPLE = 11
+
+_DTYPE_WHITELIST = ('f4', 'f8', 'i4', 'i8', 'u1', 'u4', 'b1')
 
 
-def _recv(sock: socket.socket):
-    hdr = b''
-    while len(hdr) < _HDR.size:
-        chunk = sock.recv(_HDR.size - len(hdr))
-        if not chunk:
-            raise ConnectionError("peer disconnected")   # network.h:30
-        hdr += chunk
-    (n,) = _HDR.unpack(hdr)
+def _registry():
+    """Dataclasses/NamedTuples allowed on the wire, by name.  Imported
+    lazily so the codec has no import cycle with the scene modules."""
+    from ..cameras import cameras as gcam
+    from ..geometry.mesh import HostMesh
+    from ..shading.materials import LobeSpec, MaterialSpec
+    from ..shading.textures import TextureTableBuilder
+    from ..sampling.distribution import Distribution1D, Distribution2D
+    from ..scene import SceneBuilder
+    return {c.__name__: c for c in (
+        gcam.Pinhole, gcam.DepthOfField, gcam.StereoCube,
+        HostMesh, LobeSpec, MaterialSpec, TextureTableBuilder,
+        SceneBuilder, Distribution1D, Distribution2D)}
+
+
+def _pack(obj, out: bytearray):
+    import dataclasses
+    if obj is None:
+        out.append(_T_NONE)
+    elif isinstance(obj, (bool, np.bool_)):
+        out.append(_T_BOOL)
+        out.append(1 if obj else 0)
+    elif isinstance(obj, (int, np.integer)):
+        out.append(_T_INT)
+        out += struct.pack(">q", int(obj))
+    elif isinstance(obj, (float, np.floating)):
+        out.append(_T_FLOAT)
+        out += struct.pack(">d", float(obj))
+    elif isinstance(obj, str):
+        b = obj.encode()
+        out.append(_T_STR)
+        out += struct.pack(">I", len(b)) + b
+    elif isinstance(obj, (bytes, bytearray)):
+        out.append(_T_BYTES)
+        out += struct.pack(">Q", len(obj)) + obj
+    elif isinstance(obj, tuple) and hasattr(obj, '_fields'):
+        name = type(obj).__name__
+        if name not in _registry():
+            raise TypeError(f"namedtuple {name} is not wire-registered")
+        out.append(_T_NAMEDTUPLE)
+        _pack(name, out)
+        _pack(dict(zip(obj._fields, obj)), out)
+    elif isinstance(obj, (list, tuple)):
+        out.append(_T_LIST if isinstance(obj, list) else _T_TUPLE)
+        out += struct.pack(">I", len(obj))
+        for x in obj:
+            _pack(x, out)
+    elif isinstance(obj, dict):
+        out.append(_T_DICT)
+        out += struct.pack(">I", len(obj))
+        for k, v in obj.items():
+            if not isinstance(k, str):
+                raise TypeError(f"wire dict keys must be str, got {k!r}")
+            _pack(k, out)
+            _pack(v, out)
+    elif dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+        name = type(obj).__name__
+        if name not in _registry():
+            raise TypeError(f"dataclass {name} is not wire-registered")
+        out.append(_T_DATACLASS)
+        _pack(name, out)
+        fields = {f.name: getattr(obj, f.name)
+                  for f in dataclasses.fields(obj)
+                  if not f.name.startswith('_')}
+        _pack(fields, out)
+    else:
+        # device arrays and array-likes ship as numpy
+        a = np.asarray(obj)
+        ds = a.dtype.str.lstrip('<>=|')
+        if ds not in _DTYPE_WHITELIST:
+            raise TypeError(f"dtype {a.dtype} not wire-whitelisted")
+        a = np.ascontiguousarray(a)
+        out.append(_T_NDARRAY)
+        _pack(ds, out)
+        _pack(list(a.shape), out)
+        raw = a.tobytes()
+        out += struct.pack(">Q", len(raw)) + raw
+
+
+def _unpack(buf: memoryview, pos: int):
+    tag = buf[pos]
+    pos += 1
+    if tag == _T_NONE:
+        return None, pos
+    if tag == _T_BOOL:
+        return bool(buf[pos]), pos + 1
+    if tag == _T_INT:
+        return struct.unpack_from(">q", buf, pos)[0], pos + 8
+    if tag == _T_FLOAT:
+        return struct.unpack_from(">d", buf, pos)[0], pos + 8
+    if tag == _T_STR:
+        (n,) = struct.unpack_from(">I", buf, pos)
+        pos += 4
+        return bytes(buf[pos:pos + n]).decode(), pos + n
+    if tag == _T_BYTES:
+        (n,) = struct.unpack_from(">Q", buf, pos)
+        pos += 8
+        return bytes(buf[pos:pos + n]), pos + n
+    if tag in (_T_LIST, _T_TUPLE):
+        (n,) = struct.unpack_from(">I", buf, pos)
+        pos += 4
+        xs = []
+        for _ in range(n):
+            x, pos = _unpack(buf, pos)
+            xs.append(x)
+        return (xs if tag == _T_LIST else tuple(xs)), pos
+    if tag == _T_DICT:
+        (n,) = struct.unpack_from(">I", buf, pos)
+        pos += 4
+        d = {}
+        for _ in range(n):
+            k, pos = _unpack(buf, pos)
+            v, pos = _unpack(buf, pos)
+            d[k] = v
+        return d, pos
+    if tag == _T_NDARRAY:
+        ds, pos = _unpack(buf, pos)
+        shape, pos = _unpack(buf, pos)
+        if ds not in _DTYPE_WHITELIST:
+            raise ConnectionError(f"non-whitelisted wire dtype {ds!r}")
+        (n,) = struct.unpack_from(">Q", buf, pos)
+        pos += 8
+        a = np.frombuffer(bytes(buf[pos:pos + n]), dtype=np.dtype(ds))
+        return a.reshape(shape), pos + n
+    if tag in (_T_DATACLASS, _T_NAMEDTUPLE):
+        name, pos = _unpack(buf, pos)
+        fields, pos = _unpack(buf, pos)
+        cls = _registry().get(name)
+        if cls is None:
+            raise ConnectionError(f"unknown wire dataclass {name!r}")
+        return cls(**fields), pos
+    raise ConnectionError(f"malformed wire payload (tag {tag})")
+
+
+def encode_tree(obj) -> bytes:
+    out = bytearray()
+    _pack(obj, out)
+    return bytes(out)
+
+
+def decode_tree(data: bytes):
+    obj, pos = _unpack(memoryview(data), 0)
+    if pos != len(data):
+        raise ConnectionError("trailing bytes in wire payload")
+    return obj
+
+
+# --------------------------------------------------------------------------
+# framing
+# --------------------------------------------------------------------------
+
+def _send(sock: socket.socket, opcode: int, obj):
+    payload = encode_tree(obj)
+    crc = zlib.crc32(payload) & 0xFFFFFFFF
+    sock.sendall(_FRAME.pack(MAGICK, VERSION, opcode, len(payload), crc)
+                 + payload)
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
     buf = bytearray()
     while len(buf) < n:
         chunk = sock.recv(min(1 << 20, n - len(buf)))
         if not chunk:
-            raise ConnectionError("peer disconnected")
+            raise ConnectionError("peer disconnected")   # network.h:30
         buf += chunk
-    return pickle.loads(bytes(buf))
+    return bytes(buf)
 
+
+def _recv(sock: socket.socket):
+    """Returns (opcode, payload tree).  Rejects wrong magick/version and
+    corrupt payloads (crc) with ConnectionError."""
+    magick, ver, op, n, crc = _FRAME.unpack(_recv_exact(sock, _FRAME.size))
+    if magick != MAGICK:
+        raise ConnectionError(f"bad magick {magick:#x}")
+    if ver != VERSION:
+        raise ConnectionError(f"wire version mismatch: {ver} != {VERSION}")
+    if n > MAX_FRAME_BYTES:
+        raise ConnectionError(f"oversized frame ({n} bytes)")
+    payload = _recv_exact(sock, n)
+    if (zlib.crc32(payload) & 0xFFFFFFFF) != crc:
+        raise ConnectionError("payload checksum mismatch")
+    return op, decode_tree(payload)
+
+
+# --------------------------------------------------------------------------
+# encodings (bandwidth tiers)
+# --------------------------------------------------------------------------
 
 def rgbe8_encode(rgb: np.ndarray) -> np.ndarray:
     """Ward RGBE shared-exponent encoding (network_common.h:83-103's
@@ -102,6 +302,10 @@ def active_rows(height: int, server_id: int, server_count: int) -> np.ndarray:
     return np.nonzero(((y >> 2) - server_id) % server_count == 0)[0]
 
 
+# --------------------------------------------------------------------------
+# server
+# --------------------------------------------------------------------------
+
 class RenderServer:
     """`network_server_main.cpp` analog: serve render requests forever."""
 
@@ -126,6 +330,8 @@ class RenderServer:
                 continue
             try:
                 self._serve_one(conn)
+            except ConnectionError:
+                pass        # malformed/hostile peer: drop the connection
             finally:
                 conn.close()
             if self.single:
@@ -135,36 +341,55 @@ class RenderServer:
         self._stop.set()
 
     def _serve_one(self, conn):
-        hello = _recv(conn)
-        if hello.get('magick') != MAGICK:
-            raise ConnectionError("bad magick")
+        op, hello = _recv(conn)
+        if op != OP_HELLO:
+            raise ConnectionError("expected HELLO")
         server_id = hello['serverID']          # network_device.cpp:100-106
         server_count = hello['serverCount']
-        state = {}
+        state = {'scene': None}                # committed-scene cache
         while True:
             try:
-                msg = _recv(conn)
+                op, msg = _recv(conn)
             except ConnectionError:
                 return
-            op = msg['op']
-            if op == 'set_scene':
-                # scene arrives as the staged host-side description
-                state['builder_bytes'] = msg['builder']
-            elif op == 'render':
-                _send(conn, self._render(state, msg, server_id,
-                                         server_count))
-            elif op == 'close':
+            if op == OP_SET_SCENE:
+                state['builder'] = msg['builder']
+                state['scene'] = None
+            elif op == OP_UPDATE_LIGHT:
+                # incremental edit: patch one light, recommit lazily
+                # (the opcode-per-API-call protocol's set+commit pair)
+                light = state['builder'].lights[msg['index']]
+                for k, v in msg['values'].items():
+                    if k not in light:
+                        raise ConnectionError(
+                            f"unknown light parameter {k!r}")
+                    light[k] = (np.asarray(v, np.float32)
+                                if isinstance(light[k], np.ndarray)
+                                else type(light[k])(v))
+                state['scene'] = None
+            elif op == OP_RENDER:
+                try:
+                    reply = self._render(state, msg, server_id,
+                                         server_count)
+                except ConnectionError:
+                    raise
+                except Exception as e:          # render error -> OP_ERROR
+                    _send(conn, OP_ERROR, {'error': repr(e)})
+                    continue
+                _send(conn, OP_FRAME, reply)
+            elif op == OP_CLOSE:
                 return
+            else:
+                raise ConnectionError(f"unknown opcode {op}")
 
     def _render(self, state, msg, server_id, server_count):
-        from ..scene import SceneBuilder  # noqa: F401 (unpickle target)
         from ..integrator import pathtracer as pt
         from .. import renderer as grenderer
-        from ..film import accum
 
-        sb = pickle.loads(state['builder_bytes'])
-        scene = sb.commit()
-        camera = pickle.loads(msg['camera'])
+        if state['scene'] is None:
+            state['scene'] = state['builder'].commit()
+        scene = state['scene']
+        camera = msg['camera']
         params = pt.PTParams(**msg['params'])
         w, h, spp = msg['width'], msg['height'], msg['spp']
 
@@ -172,7 +397,6 @@ class RenderServer:
         # render only our rows: pass their pixel ids through the chunk API
         import jax.numpy as jnp
         pix = (rows[:, None] * w + np.arange(w)[None, :]).reshape(-1)
-        film = accum.create(len(rows), w)
         rgb = np.zeros((len(pix), 3), np.float32)
         chunk = 1 << 17
         for s in range(spp):
@@ -201,6 +425,10 @@ class RenderServer:
         return {'rows': rows, 'rgb': out, 'weight': float(spp)}
 
 
+# --------------------------------------------------------------------------
+# client
+# --------------------------------------------------------------------------
+
 class NetworkClient:
     """`NetworkDevice` analog: broadcast scene + render, merge bands."""
 
@@ -212,26 +440,31 @@ class NetworkClient:
             # renders (first-compile especially) can take minutes — only
             # the connect is bounded; replies block indefinitely
             s.settimeout(None)
-            _send(s, {'magick': MAGICK, 'serverID': i,
-                      'serverCount': len(addresses)})
+            _send(s, OP_HELLO, {'serverID': i,
+                                'serverCount': len(addresses)})
             self.socks.append(s)
 
     def set_scene(self, builder):
-        payload = pickle.dumps(builder, protocol=4)
         for s in self.socks:
-            _send(s, {'op': 'set_scene', 'builder': payload})
+            _send(s, OP_SET_SCENE, {'builder': builder})
+
+    def update_light(self, index: int, **values):
+        """Incremental light edit on every server — no scene reship
+        (e.g. client.update_light(0, L=(2.0, 2.0, 2.0)))."""
+        for s in self.socks:
+            _send(s, OP_UPDATE_LIGHT, {'index': index, 'values': values})
 
     def render(self, camera, params, width, height, spp, seed=0,
                encoding: str = 'native', jpeg_quality: int = 90):
         """encoding: 'native' (f32 rows), 'rgbe8' (4 B/px shared-exponent,
         network_device.cpp:256-310) or 'jpeg' (lossy row bands with
         quality 1-100, the `-encode jpeg` tier of network_server.cpp)."""
-        msg = {'op': 'render', 'camera': pickle.dumps(camera, protocol=4),
+        msg = {'camera': camera,
                'params': {**params.__dict__}, 'width': width,
                'height': height, 'spp': spp, 'seed': seed,
                'encoding': encoding, 'jpeg_quality': jpeg_quality}
         for s in self.socks:
-            _send(s, msg)
+            _send(s, OP_RENDER, msg)
         img = np.zeros((height, width, 3), np.float32)
         weight = np.zeros((height, width), np.float32)
         results = [None] * len(self.socks)
@@ -239,7 +472,12 @@ class NetworkClient:
 
         def fetch(i):
             try:
-                results[i] = _recv(self.socks[i])
+                op, r = _recv(self.socks[i])
+                if op == OP_ERROR:
+                    raise ConnectionError(r.get('error', 'remote error'))
+                if op != OP_FRAME:
+                    raise ConnectionError(f"unexpected opcode {op}")
+                results[i] = r
             except Exception as e:           # surfaced below, not dropped
                 errors[i] = e
 
@@ -259,14 +497,14 @@ class NetworkClient:
                 band = jpeg_decode(r['jpeg']) * r['weight']
             else:
                 band = r['rgb']
-            img[r['rows']] = band
-            weight[r['rows']] = r['weight']
+            img[np.asarray(r['rows'])] = band
+            weight[np.asarray(r['rows'])] = r['weight']
         return img, weight
 
     def close(self):
         for s in self.socks:
             try:
-                _send(s, {'op': 'close'})
+                _send(s, OP_CLOSE, {})
                 s.close()
             except OSError:
                 pass
