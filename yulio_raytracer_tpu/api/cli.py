@@ -72,6 +72,27 @@ def _display_mode(settings, sb):
     scene = sb.commit()
     camera = goutput.mono_camera(settings)
     params = goutput.params_from_settings(settings)
+    if settings.viewer_port:
+        # -viewer: interactive web window (GLUTDisplay analog) with
+        # mouse camera drag + the reference key bindings
+        from . import viewer as gviewer
+        import numpy as np
+        l2w = np.asarray(camera.local2world)
+        pos = l2w[3].astype(np.float64)
+        fwd = l2w[2].astype(np.float64)
+        up = l2w[1].astype(np.float64)
+        ctl = gviewer.CameraController(
+            pos=pos, lookat=pos + fwd * 10.0, up=up,
+            angle=getattr(camera, 'angle', 64.0),
+            aspect=settings.width / settings.height)
+        from ..utils import regression as greg
+        gviewer.interactive_loop(
+            scene, ctl, params, settings.width, settings.height,
+            spp_per_frame=settings.spp, port=settings.viewer_port,
+            max_frames=settings.num_frames if settings.num_frames > 1
+            else 0, gamma=settings.gamma,
+            scene_factory=lambda i: greg.create_random_scene(i).commit())
+        return 0
     gdisplay.display_loop(scene, camera, params, settings.width,
                           settings.height, spp_per_frame=settings.spp,
                           max_frames=settings.num_frames,

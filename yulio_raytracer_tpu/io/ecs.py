@@ -60,6 +60,9 @@ class RenderSettings:
     backplate: Optional[np.ndarray] = None
     accumulate: int = 1              # -refine
     display: bool = False
+    # -viewer [port]: interactive web viewer (glutdisplay analog) instead
+    # of the headless progressive loop; 0 = off
+    viewer_port: int = 0
     verbose: int = 0
     # pixel reconstruction filter: the reference defaults to b-spline
     # (integratorrenderer.cpp:45-49)
@@ -243,6 +246,10 @@ def parse(tokens: TokenStream, settings: RenderSettings, sb: SceneBuilder,
             settings.out_file = tokens.get()
         elif tag == '-display':
             settings.display = True
+        elif tag == '-viewer':
+            settings.display = True
+            settings.viewer_port = (tokens.get_int()
+                                    if tokens.peek().isdigit() else 8265)
         elif tag == '-renderer':
             settings.renderer = tokens.get()
             _parse_renderer_block(tokens, settings, base_path)
