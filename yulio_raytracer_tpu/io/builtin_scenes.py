@@ -188,3 +188,176 @@ def colonnade_camera(width: int = 1024, height: int = 1024):
     from ..cameras import cameras as cam
     l2w = cam.look_at((-9.0, 2.2, 0.0), (10.0, 1.6, 0.0), (0.0, 1.0, 0.0))
     return cam.Pinhole(l2w, angle=65.0, aspect=width / height)
+
+
+def _textured_quad(a, b, c, d, material, uv_scale=(1.0, 1.0)):
+    pos = np.asarray([a, b, c, d], np.float32)
+    su, sv = uv_scale
+    uv = np.asarray([[0, 0], [su, 0], [su, sv], [0, sv]], np.float32)
+    tri = np.asarray([[0, 1, 2], [0, 2, 3]], np.int32)
+    return HostMesh(pos, tri, texcoords=uv, material=material)
+
+
+def _cylinder(base, radius, height, nseg, nh, material):
+    """Open cylinder column (y-up), uv wrapped around the shaft."""
+    base = np.asarray(base, np.float64)
+    ph = np.arange(nseg + 1) * (2.0 * np.pi / nseg)
+    ys = np.linspace(0.0, height, nh + 1)
+    P = np.stack(np.meshgrid(ph, ys, indexing='xy'), axis=-1)  # (nh+1,ns+1,2)
+    pos = np.stack([base[0] + radius * np.cos(P[..., 0]),
+                    base[1] + P[..., 1],
+                    base[2] + radius * np.sin(P[..., 0])],
+                   axis=-1).reshape(-1, 3)
+    nrm = np.stack([np.cos(P[..., 0]), np.zeros_like(P[..., 0]),
+                    np.sin(P[..., 0])], axis=-1).reshape(-1, 3)
+    uv = np.stack([P[..., 0] / (2.0 * np.pi) * 4.0,
+                   P[..., 1] / max(height, 1e-9)], axis=-1).reshape(-1, 2)
+    i = np.arange(nh)[:, None]
+    j = np.arange(nseg)[None, :]
+    v00 = i * (nseg + 1) + j
+    v01 = v00 + 1
+    v10 = v00 + (nseg + 1)
+    v11 = v10 + 1
+    t1 = np.stack([v00, v10, v01], axis=-1).reshape(-1, 3)
+    t2 = np.stack([v01, v10, v11], axis=-1).reshape(-1, 3)
+    return HostMesh(pos.astype(np.float32),
+                    np.concatenate([t1, t2]).astype(np.int32),
+                    nrm.astype(np.float32), uv.astype(np.float32),
+                    material=material)
+
+
+def _procedural_texture(rs, kind: int, res: int = 64) -> np.ndarray:
+    """20 deterministic texture families: checkers, stripes, noise,
+    gradients — stand-ins for Sponza's albedo atlas."""
+    u, v = np.meshgrid(np.linspace(0, 1, res), np.linspace(0, 1, res),
+                      indexing='xy')
+    c0 = rs.uniform(0.2, 0.9, 3)
+    c1 = rs.uniform(0.05, 0.8, 3)
+    f = int(rs.randint(2, 9))
+    m = kind % 5
+    if m == 0:      # checker
+        mask = ((u * f).astype(int) + (v * f).astype(int)) % 2
+    elif m == 1:    # stripes
+        mask = (u * f * 2).astype(int) % 2
+    elif m == 2:    # smooth noise (few octaves of random harmonics)
+        mask = np.zeros_like(u)
+        for k in range(1, 4):
+            a, b = rs.uniform(0, 2 * np.pi, 2)
+            mask += np.sin(2 * np.pi * k * f * u / 3 + a) \
+                * np.sin(2 * np.pi * k * f * v / 3 + b) / k
+        mask = (mask - mask.min()) / max(np.ptp(mask), 1e-9)
+    elif m == 3:    # radial gradient
+        mask = np.clip(np.hypot(u - 0.5, v - 0.5) * 2, 0, 1)
+    else:           # brick
+        row = (v * f).astype(int)
+        uu = u + (row % 2) * 0.5 / f
+        mask = (((uu * f) % 1.0 > 0.08) & ((v * f) % 1.0 > 0.12))
+    mask = np.asarray(mask, np.float64)[..., None]
+    img = c0[None, None] * mask + c1[None, None] * (1 - mask)
+    return img.astype(np.float32)
+
+
+def sponza_like(stories: int = 2, cols_x: int = 10, cols_z: int = 4,
+                clutter: int = 80, num_textures: int = 20,
+                seed: int = 11) -> SceneBuilder:
+    """Sponza-class textured benchmark scene (~260k triangles, 20
+    textures): a two-story colonnaded atrium with textured floor, walls,
+    column shafts, hanging banners and clutter.  Procedurally rebuilds
+    the *load* of the reference's Sponza benchmark entry (models/
+    directory; geometry blobs stripped from the mirror): deep BVH,
+    heavy occlusion, and per-hit texture-atlas gathers at scale.
+    Hall is 40 x (8*stories) x 20, centred on x/z."""
+    sb = SceneBuilder()
+    rs = np.random.RandomState(seed)
+    tex = [sb.textures.add(_procedural_texture(rs, k))
+           for k in range(num_textures)]
+
+    def tex_mat(k, extra_scale=1.0):
+        return sb.add_material(gmat.make_material(
+            'mattetextured', {'ds': (extra_scale, extra_scale)},
+            tex_id=tex[k % len(tex)]))
+
+    hx, hz = 20.0, 10.0
+    sh = 8.0                         # story height
+    hy = sh * stories
+    floor = tex_mat(0)
+    wallm = [tex_mat(1), tex_mat(2), tex_mat(3), tex_mat(4)]
+    ceil = sb.add_material(gmat.make_material(
+        'matte', {'reflectance': (0.8, 0.78, 0.75)}))
+
+    sb.add_mesh(_textured_quad([-hx, 0, -hz], [hx, 0, -hz], [hx, 0, hz],
+                               [-hx, 0, hz], floor, uv_scale=(16, 8)))
+    sb.add_mesh(_textured_quad([-hx, hy, -hz], [-hx, hy, hz],
+                               [hx, hy, hz], [hx, hy, -hz], ceil))
+    sb.add_mesh(_textured_quad([-hx, 0, -hz], [-hx, 0, hz],
+                               [-hx, hy, hz], [-hx, hy, -hz],
+                               wallm[0], uv_scale=(8, 4)))
+    sb.add_mesh(_textured_quad([hx, 0, -hz], [hx, hy, -hz], [hx, hy, hz],
+                               [hx, 0, hz], wallm[1], uv_scale=(8, 4)))
+    sb.add_mesh(_textured_quad([-hx, 0, -hz], [-hx, hy, -hz],
+                               [hx, hy, -hz], [hx, 0, -hz],
+                               wallm[2], uv_scale=(16, 4)))
+    sb.add_mesh(_textured_quad([-hx, 0, hz], [hx, 0, hz], [hx, hy, hz],
+                               [-hx, hy, hz], wallm[3], uv_scale=(16, 4)))
+
+    xs = np.linspace(-hx * 0.82, hx * 0.82, cols_x)
+    zs = np.linspace(-hz * 0.72, hz * 0.72, cols_z)
+    for s in range(stories):
+        y0 = s * sh
+        for ci, x in enumerate(xs):
+            for cj, z in enumerate(zs):
+                shaft = tex_mat(5 + (ci + cj + s) % 10)
+                sb.add_mesh(_cylinder([x, y0 + 0.4, z], 0.45, sh - 1.6,
+                                      64, 12, shaft))
+                # capital + base (untextured spheres)
+                cap = sb.add_material(gmat.make_material(
+                    'plastic', {'pigmentColor': tuple(
+                        rs.uniform(0.4, 0.8, 3))}))
+                sb.add_mesh(primitives.tessellate_sphere(
+                    [x, y0 + sh - 1.0, z], 0.62, 10, 20, material=cap))
+                sb.add_mesh(primitives.tessellate_sphere(
+                    [x, y0 + 0.25, z], 0.62, 10, 20, material=cap))
+        # story floor slabs between columns (walkway ring)
+        if s > 0:
+            ring = tex_mat(15 + s)
+            sb.add_mesh(_textured_quad(
+                [-hx, y0, -hz], [hx, y0, -hz],
+                [hx, y0, -hz * 0.55], [-hx, y0, -hz * 0.55],
+                ring, uv_scale=(16, 2)))
+            sb.add_mesh(_textured_quad(
+                [-hx, y0, hz * 0.55], [hx, y0, hz * 0.55],
+                [hx, y0, hz], [-hx, y0, hz], ring, uv_scale=(16, 2)))
+
+    # hanging banners down the hall (thin textured quads)
+    for k in range(16):
+        bx = rs.uniform(-hx * 0.7, hx * 0.7)
+        bz = rs.uniform(-hz * 0.5, hz * 0.5)
+        top = hy - 0.5
+        wdt, hgt = 1.2, 3.0
+        sb.add_mesh(_textured_quad(
+            [bx - wdt / 2, top - hgt, bz], [bx + wdt / 2, top - hgt, bz],
+            [bx + wdt / 2, top, bz], [bx - wdt / 2, top, bz],
+            tex_mat(k % num_textures)))
+
+    for _ in range(clutter):
+        cx = rs.uniform(-hx * 0.9, hx * 0.9)
+        cz = rs.uniform(-hz * 0.9, hz * 0.9)
+        r = rs.uniform(0.2, 0.6)
+        sb.add_mesh(primitives.tessellate_sphere(
+            [cx, r, cz], r, 16, 24,
+            material=tex_mat(int(rs.randint(num_textures)))))
+
+    add_quad_light(sb, (-12.0, hy - 0.02, -2.0), (3.0, 0, 0), (0, 0, 3.0),
+                   (60.0, 57.0, 51.0))
+    add_quad_light(sb, (2.0, hy - 0.02, -2.0), (3.0, 0, 0), (0, 0, 3.0),
+                   (51.0, 54.0, 60.0))
+    add_quad_light(sb, (12.0, hy - 0.02, -2.0), (3.0, 0, 0), (0, 0, 3.0),
+                   (57.0, 60.0, 54.0))
+    return sb
+
+
+def sponza_like_camera(width: int = 1024, height: int = 1024):
+    """Down-the-atrium view through both column rows."""
+    from ..cameras import cameras as cam
+    l2w = cam.look_at((-18.5, 4.0, 0.0), (20.0, 3.2, 0.0), (0.0, 1.0, 0.0))
+    return cam.Pinhole(l2w, angle=65.0, aspect=width / height)
