@@ -1,10 +1,17 @@
-"""Trustworthy incoherent-traversal timings: every timed call gets a
-DIFFERENT input (tnear jittered per iteration, same shapes) so backend
-execution caching/dedup cannot fake a result, and each call is
-block_until_ready'd individually.
+"""Trustworthy traversal timings.
 
-Usage: python scripts/bench_incoherent.py [--res 512] [--iters 4]
-       [--what sorted,march,grid,occ]
+Measurement rules (established round 3, scripts/bench_primitives.py):
+* `jax.block_until_ready` does NOT wait on the tunneled axon backend —
+  every timing must force completion with a host fetch of (a slice of)
+  the result, which costs one ~30 ms RPC round trip.
+* every timed call gets a DIFFERENT input (tnear jittered per
+  iteration) so backend execution caching/dedup cannot fake a result.
+* `--amortize K` wraps the op in an in-jit lax.fori_loop of K
+  input-varied iterations and divides out the single fetch, resolving
+  costs well below the RPC floor.
+
+Usage: python scripts/bench_incoherent.py [--res 512] [--iters 3]
+       [--amortize 8] [--what sorted,unsorted,occ,coherent,grid,march]
 """
 import argparse
 import os
@@ -15,13 +22,24 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 
+def fetch(x):
+    import numpy as np
+    if hasattr(x, 't'):
+        x = x.t
+    if isinstance(x, (tuple, list)):
+        x = x[0]
+    return np.asarray(x.ravel()[:1])
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--res', type=int, default=512)
-    ap.add_argument('--iters', type=int, default=4)
+    ap.add_argument('--iters', type=int, default=3)
+    ap.add_argument('--amortize', type=int, default=8)
     ap.add_argument('--kb', type=int, default=8)
+    ap.add_argument('--leaf', type=int, default=32)
     ap.add_argument('--what', type=str,
-                    default='sorted,march,grid')
+                    default='coherent,sorted,unsorted,occ')
     args = ap.parse_args()
     what = args.what.split(',')
 
@@ -37,10 +55,10 @@ def main():
     from yulio_raytracer_tpu.scene import GRID_RES
 
     print("backend:", jax.default_backend(), flush=True)
-    scene = builtin_scenes.colonnade().commit(leaf_size=32)
+    scene = builtin_scenes.colonnade().commit(leaf_size=args.leaf)
     pk = scene.packet
     nodes, tris = pk['nodes'], pk['tris']
-    gd = pk['grid']
+    gd = pk.get('grid')
     kw = dict(max_leaf=scene.leaf_size, hbm=scene.packet_hbm,
               use_cull=scene.any_cull)
     skw = dict(bbox_lo=scene.bbox_lo, bbox_hi=scene.bbox_hi, **kw)
@@ -79,50 +97,82 @@ def main():
     o1 = p0 + d1 * 1e-3
     tf1 = jnp.where(valid, jnp.inf, -1.0)
 
+    K = max(args.amortize, 1)
+
     def timeit(label, fn, rays, iters=args.iters):
-        # warmup (compile) with eps=0
-        r = fn(0.0)
-        jax.block_until_ready(r.t if hasattr(r, 't') else r)
+        """fn(eps scalar) -> Hit or array.  Reports per-call time with
+        the RPC floor amortized over K in-jit iterations."""
+        @jax.jit
+        def loop(e0):
+            def body(i, acc):
+                r = fn(e0 + i.astype(jnp.float32) * 1e-7)
+                t = r.t if hasattr(r, 't') else r
+                return acc + jnp.sum(jnp.minimum(t.astype(jnp.float32),
+                                                 jnp.float32(1e9)))
+            return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
+
+        fetch(loop(jnp.float32(0.0)))          # compile + warm
         times = []
         for i in range(iters):
             t0 = time.perf_counter()
-            r = fn(1e-7 * (i + 1))        # distinct input every call
-            jax.block_until_ready(r.t if hasattr(r, 't') else r)
+            fetch(loop(jnp.float32((i + 1) * 1e-5)))
             times.append(time.perf_counter() - t0)
-        best = min(times)
-        med = sorted(times)[len(times) // 2]
+        best = min(times) / K
+        med = sorted(times)[len(times) // 2] / K
         print("%-34s best %8.1f ms  med %8.1f ms  %8.2f Mrps"
               % (label, best * 1e3, med * 1e3, rays / best / 1e6),
               flush=True)
-        return r
 
-    if 'sorted' in what:
-        base = timeit("bounce-1 closest sorted", lambda e:
-                      ppt.intersect_packet_sorted(nodes, tris, o1, d1,
-                                                  tn + e, tf1, **skw), n)
-    if 'march' in what:
-        got = timeit("bounce-1 closest MARCH kb=%d" % args.kb, lambda e:
-                     gridm.intersect_march(gd, o1, d1, tn + e, tf1,
-                                           scene.bbox_lo, scene.bbox_hi,
-                                           res=GRID_RES, kb=args.kb,
-                                           use_cull=scene.any_cull), n)
-        if 'sorted' in what:
-            neq = int((np.asarray(got.tri) != np.asarray(base.tri)).sum())
-            print("   march vs sorted mismatches: %d of %d" % (neq, n),
-                  flush=True)
-    if 'grid' in what:
-        timeit("bounce-1 closest GRID rounds", lambda e:
-               gridm.intersect_grid(gd, nodes, tris, o1, d1, tn + e, tf1,
-                                    scene.bbox_lo, scene.bbox_hi,
-                                    res=GRID_RES, **kw), n)
-    if 'occ' in what:
-        timeit("bounce-1 anyhit sorted", lambda e:
-               ppt.occluded_packet_sorted(nodes, tris, o1, d1, tn + e,
-                                          tf1, **skw), n)
     if 'coherent' in what:
         timeit("camera closest packet", lambda e:
                ppt.intersect_packet(nodes, tris, org, dirn, tn + e, tf,
                                     **kw), n)
+    if 'sorted' in what:
+        timeit("bounce-1 closest sorted", lambda e:
+               ppt.intersect_packet_sorted(nodes, tris, o1, d1,
+                                           tn + e, tf1, **skw), n)
+    if 'unsorted' in what:
+        timeit("bounce-1 closest unsorted", lambda e:
+               ppt.intersect_packet(nodes, tris, o1, d1, tn + e, tf1,
+                                    **kw), n)
+    if 'occ' in what:
+        timeit("bounce-1 anyhit sorted", lambda e:
+               ppt.occluded_packet_sorted(nodes, tris, o1, d1, tn + e,
+                                          tf1, **skw), n)
+    if 'treelet' in what:
+        timeit("bounce-1 closest treelet-binned", lambda e:
+               ppt.intersect_packet_binned(
+                   nodes, tris, pk['treelet_roots'], pk['treelet_boxes'],
+                   o1, d1, tn + e, tf1, **skw), n)
+    if 'dense' in what and 'planes' in pk:
+        timeit("bounce-1 closest dense-binned", lambda e:
+               ppt.intersect_dense_binned(
+                   nodes, tris, pk['planes'], pk['planes_rows'],
+                   pk['treelet_boxes'], pk['treelet_tile_lo'],
+                   pk['treelet_tile_hi'], o1, d1, tn + e, tf1, **skw), n)
+    if 'regroup' in what:
+        keyu = jnp.asarray(
+            np.random.RandomState(1).randint(
+                0, 1 << 30, size=n).astype(np.uint32))
+        timeit("argsort u32", lambda e:
+               jnp.argsort(keyu + (e * 1e7).astype(jnp.uint32)
+                           ).astype(jnp.float32), n)
+        perm = jnp.argsort(keyu)
+        timeit("gather rows (R,3)", lambda e:
+               (o1 + e)[perm], n)
+        timeit("scatter rows", lambda e:
+               jnp.zeros_like(o1).at[perm].set(o1 + e), n)
+    if 'grid' in what and gd is not None:
+        timeit("bounce-1 closest GRID rounds", lambda e:
+               gridm.intersect_grid(gd, nodes, tris, o1, d1, tn + e, tf1,
+                                    scene.bbox_lo, scene.bbox_hi,
+                                    res=GRID_RES, **kw), n)
+    if 'march' in what and gd is not None:
+        timeit("bounce-1 closest MARCH kb=%d" % args.kb, lambda e:
+               gridm.intersect_march(gd, o1, d1, tn + e, tf1,
+                                     scene.bbox_lo, scene.bbox_hi,
+                                     res=GRID_RES, kb=args.kb,
+                                     use_cull=scene.any_cull), n)
 
 
 if __name__ == '__main__':
