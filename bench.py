@@ -113,13 +113,21 @@ def bench_colonnade_traversal():
     org, dirn = camera.ray(uv, jnp.zeros((n, 2)))
     tn = jnp.zeros((n,))
     tf = jnp.full((n,), jnp.inf)
-    args = (scene.packet['nodes'], scene.packet['tris'], org, dirn, tn, tf)
     kw = dict(max_leaf=scene.leaf_size, hbm=scene.packet_hbm)
-    jax.block_until_ready(ppt.intersect_packet(*args, **kw).t)
+    nodes, tris = scene.packet['nodes'], scene.packet['tris']
+
+    # honest timing: block_until_ready is a no-op on the tunneled
+    # backend — sync by fetching, and vary the input per iteration so
+    # backend-side execution dedup can't fake a result
+    def run(eps):
+        h = ppt.intersect_packet(nodes, tris, org, dirn, tn + eps, tf,
+                                 **kw)
+        return np.asarray(h.t.ravel()[:1])
+
+    run(0.0)                         # compile + warm
     t0 = time.perf_counter()
-    for _ in range(3):
-        hit = ppt.intersect_packet(*args, **kw)
-    jax.block_until_ready(hit.t)
+    for i in range(3):
+        run((i + 1) * 1e-6)
     return "colonnade_traversal_mrps", FrameStats(
         3 * n, time.perf_counter() - t0)
 

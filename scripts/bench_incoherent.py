@@ -139,6 +139,17 @@ def main():
         timeit("bounce-1 anyhit sorted", lambda e:
                ppt.occluded_packet_sorted(nodes, tris, o1, d1, tn + e,
                                           tf1, **skw), n)
+    if 'split' in what:
+        from yulio_raytracer_tpu.ops import pallas_splitleaf as psl
+        timeit("bounce-1 closest SPLIT sorted", lambda e:
+               psl.intersect_packet_split_sorted(
+                   nodes, tris, o1, d1, tn + e, tf1,
+                   bbox_lo=scene.bbox_lo, bbox_hi=scene.bbox_hi,
+                   max_leaf=scene.leaf_size, use_cull=scene.any_cull), n)
+        timeit("camera closest SPLIT", lambda e:
+               psl.intersect_packet_split(
+                   nodes, tris, org, dirn, tn + e, tf,
+                   max_leaf=scene.leaf_size, use_cull=scene.any_cull), n)
     if 'treelet' in what:
         timeit("bounce-1 closest treelet-binned", lambda e:
                ppt.intersect_packet_binned(

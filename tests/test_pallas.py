@@ -509,3 +509,40 @@ def test_dense_binned_matches_plain():
         jnp.asarray(tge), org, d, tn, tfo, bb_lo, bb_hi, max_leaf=8,
         interpret=True, rounds=2, rt=2)
     np.testing.assert_array_equal(np.asarray(refo), np.asarray(goto))
+
+
+def test_splitleaf_matches_packet():
+    """Split-leaf deferred-sweep kernel is exact vs the in-line packet
+    kernel (closest hit incl. culling, dead rays, finite tfar)."""
+    from yulio_raytracer_tpu.ops import pallas_splitleaf as psl
+    nodes, tris, geom, _ = _build([
+        primitives.tessellate_sphere([0, 0, 0], 1.0, 12, 16),
+        primitives.tessellate_sphere([2.5, 0.5, -1], 0.8, 10, 12),
+        primitives.quad([-5, -1.2, -5], [5, -1.2, -5], [5, -1.2, 5],
+                        [-5, -1.2, 5]),
+        primitives.single_triangle([2, 0, 0], [3, 0, 0], [2, 1, 0],
+                                   cull=mesh.CULL_BACK),
+    ], leaf_size=8)
+    rs = np.random.RandomState(3)
+    R = psl.BLOCK
+    org = jnp.asarray(rs.randn(R, 3).astype(np.float32) * 3)
+    d = rs.randn(R, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    tn = jnp.full((R,), 1e-4)
+    tf = jnp.full((R,), np.inf).at[::7].set(-1.0)   # dead rays
+    ref = ppt.intersect_packet(nodes, tris, org, d, tn, tf,
+                               max_leaf=8, interpret=True)
+    got = psl.intersect_packet_split(nodes, tris, org, d, tn, tf,
+                                     max_leaf=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref.tri), np.asarray(got.tri))
+    np.testing.assert_allclose(
+        np.where(np.isfinite(ref.t), ref.t, 0.0),
+        np.where(np.isfinite(got.t), got.t, 0.0), atol=1e-5)
+    bb_lo = tuple(np.asarray(jnp.min(geom['v0'], axis=0)).tolist())
+    bb_hi = tuple(np.asarray(jnp.max(geom['v0'], axis=0)).tolist())
+    gots = psl.intersect_packet_split_sorted(nodes, tris, org, d, tn, tf,
+                                             bbox_lo=bb_lo, bbox_hi=bb_hi,
+                                             max_leaf=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref.tri),
+                                  np.asarray(gots.tri))

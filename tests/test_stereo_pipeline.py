@@ -127,6 +127,41 @@ def test_session_stop_discards(tmp_path):
         assert not [f for f in os.listdir(tmp_path) if f.endswith('.jpg')]
 
 
+def test_face_retry_is_idempotent(tmp_path, monkeypatch):
+    """A cube face that fails transiently retries once and produces the
+    same strip as an untroubled run (SURVEY §5: per-face idempotent
+    retry unit; the reference restarts at face granularity)."""
+    from yulio_raytracer_tpu.api import output as goutput
+    from yulio_raytracer_tpu import renderer as grenderer
+
+    settings = ecs.RenderSettings(stereo=True, width=8, height=8,
+                                  depth=2, spp=2, gamma=1.0)
+    sb = SceneBuilder()
+    result = collada.load_dae(DAE, settings, sb)
+    rigs = collada.make_stereo_cameras(result)
+
+    written, _ = goutput.render_stereo(sb, settings, rigs, 'clean',
+                                       str(tmp_path))
+    real = grenderer.render_frame
+    calls = {'n': 0}
+
+    def flaky(*a, **k):
+        calls['n'] += 1
+        if calls['n'] == 3:          # fail face 2's first attempt
+            raise RuntimeError("injected transient fault")
+        return real(*a, **k)
+
+    monkeypatch.setattr(goutput.grenderer, 'render_frame', flaky)
+    written2, _ = goutput.render_stereo(sb, settings, rigs, 'retried',
+                                        str(tmp_path))
+    assert len(written) == len(written2) == 1
+    assert calls['n'] == 13          # 12 faces + 1 retry
+    from PIL import Image
+    a = np.asarray(Image.open(written[0]))
+    b = np.asarray(Image.open(written2[0]))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_watermark_png_resource_pipeline():
     """The watermark ships as a packaged PNG decoded through the image
     layer (renderer.cpp:48-97's FreeImage-from-memory resource path)."""

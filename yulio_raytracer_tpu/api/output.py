@@ -140,14 +140,30 @@ def render_stereo(sb, settings: gecs.RenderSettings, rigs,
                     cam.local2world, cam.cube_face_index, cam.origin,
                     cam.up, cam.scene_scale, cam.eye_separation,
                     cam.zero_parallax, True, cam.falloff_angle)
-            film, _ = grenderer.render_frame(
-                scene_static, cam, params, size, size, settings.spp,
-                seed=seed, backplate=_bp(settings),
-                pixel_filter=settings.pixel_filter,
-                progress_cb=(lambda f: progress_cb(
-                    (ci * 12 + face_index + f) / total_faces))
-                if progress_cb else None,
-                stop_flag=stop_flag, mesh=mesh)
+
+            # Each cube face is the idempotent retry unit (SURVEY §5
+            # failure-detection: the reference restarts at face
+            # granularity, renderer.cpp:656-660).  Deterministic seeding
+            # makes a retried face bit-identical to an untroubled one; a
+            # second failure propagates to the session error history.
+            def _face(cam=cam, face_index=face_index, ci=ci):
+                film, _ = grenderer.render_frame(
+                    scene_static, cam, params, size, size, settings.spp,
+                    seed=seed, backplate=_bp(settings),
+                    pixel_filter=settings.pixel_filter,
+                    progress_cb=(lambda f: progress_cb(
+                        (ci * 12 + face_index + f) / total_faces))
+                    if progress_cb else None,
+                    stop_flag=stop_flag, mesh=mesh)
+                return film
+
+            try:
+                film = _face()
+            except Exception as e:                    # pragma: no cover
+                from ..utils import logging as glog
+                glog.warning("face %d of camera %r failed (%s); "
+                             "retrying once" % (face_index, camera_name, e))
+                film = _face()
             img = np.asarray(tonemap.tonemap(accum.resolve(film),
                                              gamma=settings.gamma,
                                              vignetting=settings.vignetting))

@@ -31,6 +31,19 @@ DIM_LENS = 1
 DIM_TIME = 2   # motion-blur time sample (sampler.h getTime)
 
 
+def _sync(x):
+    """Force device completion of everything `x` depends on.
+
+    `jax.block_until_ready` returns immediately on the tunneled axon
+    backend (measured round 3: 0.03 ms after a 1.3-TFLOP matmul chain),
+    so both the watchdog stream-bounding and FrameStats timing must
+    sync by FETCHING data — one element is enough (program order: the
+    fetch completes only after every dispatch it depends on).  Costs
+    one host round trip (~30 ms tunneled, microseconds on a local
+    host) — negligible at pass granularity."""
+    np.asarray(jax.device_get(x.ravel()[:1]))
+
+
 def _trace_one_sample(scene, camera, params, width, height, spp,
                       pixel_ids, sample_ids, seed, backplate=None,
                       pixel_filter: str = 'box'):
@@ -302,17 +315,17 @@ def render_frame(scene, camera, params, width: int, height: int, spp: int,
         # bound the queued device stream: minute-long uninterrupted
         # streams crash the TPU runtime's watchdog (observed on v5e).
         # BVH-path passes run seconds each -> sync every pass (the sync
-        # round-trip is ~0.1 s on a tunneled device, negligible there);
+        # round-trip is ~30 ms on a tunneled device, negligible there);
         # dense-path passes are short -> sync every 8th.
         if scene.bvh is not None or (wi % 8) == 7:
-            jax.block_until_ready(rgb_flat)
+            _sync(rgb_flat)
         total_rays += float(nrays)
         if progress_cb is not None:
             progress_cb((wi + 1) / len(work))
 
     new_film = accum.Film(rgb_flat.reshape(height, width, 3),
                           film.weight + float(spp))
-    jax.block_until_ready(new_film.rgb_sum)
+    _sync(new_film.rgb_sum)         # honest wall clock: fetch-based sync
     dt = time.perf_counter() - t0
     return new_film, FrameStats(total_rays, dt)
 
