@@ -174,10 +174,98 @@ def bench_tpu_psnr_glass():
                            / max(mse, 1e-20))
 
 
+def _path_psnr(scene_fn, cam_fn, depth, spp, golden, commit_kw=None,
+               check=None, **params_kw):
+    """On-chip parity gate for one traversal path: render a pinned
+    small config on the live device through the given path and PSNR it
+    against the CPU oracle (assets/golden/*, scripts/make_goldens.py —
+    the XLA non-Pallas path, same deterministic sample sequences, so
+    any gap is kernel numerics, not variance).  The determinism
+    property SURVEY §4 pins (integratorrenderer.cpp:134)."""
+    import os
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/root/.cache/jax_comp")
+    import numpy as np
+    from yulio_raytracer_tpu.io import builtin_scenes
+    from yulio_raytracer_tpu.integrator import pathtracer as pt
+    from yulio_raytracer_tpu import renderer
+    from yulio_raytracer_tpu.film import accum
+
+    ref = np.load(os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), 'assets', 'golden', golden))['img']
+    scene = getattr(builtin_scenes, scene_fn)().commit(**(commit_kw or {}))
+    if check:
+        check(scene)
+    cam = getattr(builtin_scenes, cam_fn)(64, 64)
+    film, _ = renderer.render_frame(
+        scene, cam, pt.PTParams(max_depth=depth, **params_kw),
+        64, 64, spp=spp, seed=42)
+    img = np.asarray(accum.resolve(film))
+    mse = float(((img - ref) ** 2).mean())
+    return 10.0 * np.log10(max(float(ref.max()), 1e-9) ** 2
+                           / max(mse, 1e-20))
+
+
+def bench_psnr_hbm():
+    """HBM-streamed packet path (238k-tri sponza_like: packed rows
+    exceed TRIS_VMEM_LIMIT_BYTES, so leaf windows DMA from HBM)."""
+    def check(scene):
+        assert scene.packet_hbm, "sponza_like must exceed the VMEM limit"
+    return _path_psnr('sponza_like', 'sponza_like_camera', 2, 4,
+                      'sponza_64_cpu.npz', dict(leaf_size=32), check)
+
+
+def bench_psnr_grid():
+    """Uniform-grid DDA bounce-regrouping path (ray_binning='grid')."""
+    def check(scene):
+        assert 'grid' in scene.packet, "colonnade must carry grid tables"
+    return _path_psnr('colonnade', 'colonnade_camera', 3, 8,
+                      'colonnade_64_cpu.npz', dict(leaf_size=32), check,
+                      ray_binning='grid')
+
+
+def bench_psnr_treelet():
+    """Treelet-binned bounce-regrouping path (ray_binning='treelet')."""
+    def check(scene):
+        assert 'treelet_roots' in scene.packet
+    return _path_psnr('colonnade', 'colonnade_camera', 3, 8,
+                      'colonnade_64_cpu.npz', dict(leaf_size=32), check,
+                      ray_binning='treelet')
+
+
+def bench_psnr_motion():
+    """Motion-blur packet path (union-bounds BVH + time-aware MT)."""
+    def check(scene):
+        assert scene.packet is not None and 'tris_mb' in scene.packet, \
+            "motion_field must commit the motion packet tables"
+    return _path_psnr('motion_field', 'motion_field_camera', 2, 16,
+                      'motion_64_cpu.npz', {}, check)
+
+
+def bench_sponza():
+    """Texture-heavy Sponza-class regime (238k tris, 20 textures,
+    1024x1024): texture-atlas gather cost at scale."""
+    from yulio_raytracer_tpu.io import builtin_scenes
+    from yulio_raytracer_tpu.integrator import pathtracer as pt
+    from yulio_raytracer_tpu import renderer
+
+    scene = builtin_scenes.sponza_like().commit(leaf_size=32)
+    camera = builtin_scenes.sponza_like_camera(1024, 1024)
+    params = pt.PTParams(max_depth=4)
+    renderer.render_frame(scene, camera, params, 1024, 1024, spp=8, seed=0)
+    _, stats = renderer.render_frame(scene, camera, params, 1024, 1024,
+                                     spp=8, seed=1)
+    return "sponza_like_1024_mrps", stats
+
+
 def main():
     for name, fn in (("cornell_tpu_vs_cpu_psnr", bench_tpu_psnr),
                      ("sphere_glass_tpu_vs_cpu_psnr",
-                      bench_tpu_psnr_glass)):
+                      bench_tpu_psnr_glass),
+                     ("hbm_stream_tpu_vs_cpu_psnr", bench_psnr_hbm),
+                     ("grid_path_tpu_vs_cpu_psnr", bench_psnr_grid),
+                     ("treelet_path_tpu_vs_cpu_psnr", bench_psnr_treelet),
+                     ("motion_packet_tpu_vs_cpu_psnr", bench_psnr_motion)):
         psnr = fn()
         print(json.dumps({
             "metric": name,
@@ -186,7 +274,7 @@ def main():
             "vs_baseline": round(psnr / PSNR_TARGET_DB, 4),
         }), flush=True)
     for fn in (bench_cornell, bench_colonnade_traversal,
-               bench_stereo_face, bench_colonnade):
+               bench_sponza, bench_stereo_face, bench_colonnade):
         metric, stats = fn()
         print(json.dumps({
             "metric": metric,

@@ -1,0 +1,69 @@
+"""Generate pinned CPU oracle renders for the on-chip parity gates.
+
+Run on a CPU-forced backend (self-forcing: must be a fresh process).
+Each golden is the XLA-path render (no Pallas kernels — _use_packet is
+False off-TPU) of a small deterministic config; bench.py re-renders the
+same configs on the live TPU through each specialized traversal path
+(HBM-streamed packet, grid-binned, treelet-binned, motion packet) and
+gates the PSNR at >= 40 dB (BASELINE.md hardware-parity acceptance).
+
+Usage: python scripts/make_goldens.py [name ...]   (default: all new)
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(
+    os.path.abspath(__file__)), '..'))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), 'assets', 'golden')
+
+# name -> (scene thunk, camera thunk, max_depth, spp)
+# Shared by bench.py: the TPU side must render the IDENTICAL config.
+CONFIGS = {
+    'colonnade_64': ('colonnade', 'colonnade_camera', 3, 8,
+                     dict(leaf_size=32)),
+    'sponza_64': ('sponza_like', 'sponza_like_camera', 2, 4,
+                  dict(leaf_size=32)),
+    'motion_64': ('motion_field', 'motion_field_camera', 2, 16, {}),
+}
+SEED = 42
+RES = 64
+
+
+def render_config(name):
+    from yulio_raytracer_tpu.io import builtin_scenes
+    from yulio_raytracer_tpu.integrator import pathtracer as pt
+    from yulio_raytracer_tpu import renderer
+    from yulio_raytracer_tpu.film import accum
+
+    scene_fn, cam_fn, depth, spp, ckw = CONFIGS[name]
+    scene = getattr(builtin_scenes, scene_fn)().commit(**ckw)
+    cam = getattr(builtin_scenes, cam_fn)(RES, RES)
+    film, _ = renderer.render_frame(scene, cam, pt.PTParams(max_depth=depth),
+                                    RES, RES, spp=spp, seed=SEED)
+    return np.asarray(accum.resolve(film))
+
+
+def main():
+    assert jax.default_backend() == 'cpu', jax.default_backend()
+    names = sys.argv[1:] or list(CONFIGS)
+    for name in names:
+        import time
+        t0 = time.perf_counter()
+        img = render_config(name)
+        path = os.path.join(GOLDEN_DIR, name + '_cpu.npz')
+        np.savez_compressed(path, img=img.astype(np.float32))
+        print("%s: %.1fs mean=%.4f -> %s"
+              % (name, time.perf_counter() - t0, img.mean(), path),
+              flush=True)
+
+
+if __name__ == '__main__':
+    main()

@@ -361,3 +361,39 @@ def sponza_like_camera(width: int = 1024, height: int = 1024):
     from ..cameras import cameras as cam
     l2w = cam.look_at((-18.5, 4.0, 0.0), (20.0, 3.2, 0.0), (0.0, 1.0, 0.0))
     return cam.Pinhole(l2w, angle=65.0, aspect=width / height)
+
+
+def motion_field(n_spheres: int = 16, tess=(10, 12), seed: int = 11
+                 ) -> SceneBuilder:
+    """Motion-blur benchmark scene: a field of moving spheres over a
+    ground plane under a quad light (~4k triangles — above
+    BRUTE_FORCE_MAX_TRIS so commit() builds the union-bounds motion BVH
+    and the TPU render uses the motion packet path, scene.py's bvh4mb
+    analog).  Per-vertex linear velocities mirror the reference's
+    "motion" vertex buffer (trianglemesh_full.cpp:29-33)."""
+    import dataclasses
+    sb = SceneBuilder()
+    rs = np.random.RandomState(seed)
+    grey = sb.add_material(gmat.make_material(
+        'matte', {'reflectance': (0.6, 0.6, 0.6)}))
+    hue = [sb.add_material(gmat.make_material('matte', {'reflectance': c}))
+           for c in ((0.7, 0.2, 0.15), (0.2, 0.45, 0.7), (0.75, 0.65, 0.2))]
+    sb.add_mesh(_quad_mesh([-8, 0, -8], [8, 0, -8], [8, 0, 8], [-8, 0, 8],
+                           grey))
+    nt, np_ = tess
+    for i in range(n_spheres):
+        c = [rs.uniform(-6, 6), rs.uniform(0.6, 2.5), rs.uniform(-6, 6)]
+        m = primitives.tessellate_sphere(c, rs.uniform(0.3, 0.7), nt, np_,
+                                         material=hue[i % 3])
+        vel = rs.uniform(-2.5, 2.5, size=3).astype(np.float32)
+        sb.add_mesh(dataclasses.replace(
+            m, motions=np.tile(vel, (len(m.positions), 1))))
+    add_quad_light(sb, (-1.5, 7.0, -1.5), (3.0, 0, 0), (0, 0, 3.0),
+                   (60.0, 60.0, 60.0))
+    return sb
+
+
+def motion_field_camera(width: int = 512, height: int = 512):
+    from ..cameras import cameras as cam
+    l2w = cam.look_at((0.0, 6.0, -10.0), (0.0, 1.0, 0.0), (0.0, 1.0, 0.0))
+    return cam.Pinhole(l2w, angle=55.0, aspect=width / height)
