@@ -256,11 +256,21 @@ def _occluded(scene, org, dirn, tnear, tfar, tri_axis=None, time=None,
 
 
 def trace(scene, params: PTParams, org, dirn, seed, pixel_id, sample_id,
-          pixel_uv=None, backplate=None, time=None):
+          pixel_uv=None, backplate=None, time=None, samples=None):
     """Estimate radiance along primary rays.
 
     org/dirn: (R, 3); pixel_id/sample_id: (R,) uint32 (RNG keys);
     pixel_uv: (R, 2) in [0,1)^2 for backplate lookups.
+    samples: optional precomputed sample-set tables
+    (sampling/precomputed.py — the reference's SamplerFactory sequences,
+    sampler.cpp:85-160): dict with 'set'/'sidx' (R,) int32 and
+    's1d' (sets, spp, >=max_depth) / 's2d' (sets, spp, >=1+max_depth, 2).
+    When given, the NEE light sample is 2D dim 0 (shared by every light
+    and depth, pathtraceintegrator.cpp:39+133), scatter directions are
+    2D dims 1+depth (cpp:188), and the scatter-type 1D dim `depth` is
+    REUSED for Russian roulette (cpp:179+189) — exactly the reference's
+    stream.  Shadow tMax jitter stays stateless (the reference draws the
+    global system RNG there, cpp:152 — irreproducible by design).
     Returns (L (R, 3), num_rays (scalar f32)).
     """
     r = org.shape[0]
@@ -323,6 +333,13 @@ def trace(scene, params: PTParams, org, dirn, seed, pixel_id, sample_id,
 
     def bounce(state, depth, sort_rays=False):
         base = _bounce_dims(depth, dim_stride)
+        if samples is not None:
+            _sset, _sidx = samples['set'], samples['sidx']
+            # shared NEE light sample: 2D dim 0 (cpp:39,133)
+            nee_u2 = samples['s2d'][_sset, _sidx, 0]
+            # per-depth scatter-type 1D, reused by RR (cpp:179,189)
+            pre_s1 = samples['s1d'][_sset, _sidx, depth]
+            pre_s2 = samples['s2d'][_sset, _sidx, 1 + depth]
         active = state['active']
         org = state['org']
         dirn = state['dir']
@@ -409,8 +426,9 @@ def trace(scene, params: PTParams, org, dirn, seed, pixel_id, sample_id,
             identical to the unrolled form)."""
             mask_ok = (illum_mask_u32
                        & dg['illum_mask'].astype(jnp.uint32)) != 0
-            u2 = rng.uniform2(seed, pixel_id, sample_id,
-                              base + jnp.uint32(dim_light) + li_dim)
+            u2 = (nee_u2 if samples is not None else
+                  rng.uniform2(seed, pixel_id, sample_id,
+                               base + jnp.uint32(dim_light) + li_dim))
             le, wi, pdf, tmax = glights.sample(l, dg['P'], ns, u2)
             cand = use_dl & mask_ok & (pdf > 0.0) \
                 & jnp.any(le > 0.0, axis=-1)
@@ -509,17 +527,21 @@ def trace(scene, params: PTParams, org, dirn, seed, pixel_id, sample_id,
         # ---- russian roulette (cpp:172-182, with 1/q compensation) ----
         q = jnp.minimum(jnp.max(thr, axis=-1) * state['eta_rr'] ** 2, 0.95)
         rr_on = depth >= (params.rr_depth - 1)
-        rr_u = rng.uniform1(seed, pixel_id, sample_id,
-                            base + jnp.uint32(_DIM_RR))
+        rr_u = (pre_s1 if samples is not None else
+                rng.uniform1(seed, pixel_id, sample_id,
+                             base + jnp.uint32(_DIM_RR)))
         killed = rr_on & (rr_u >= q)
         cont = cont & ~killed
         rr_scale = jnp.where(rr_on, 1.0 / jnp.maximum(q, 1e-3), 1.0)
 
         # ---- GI: sample one lobe (cpp:184-213) ----
-        s2 = rng.uniform2(seed, pixel_id, sample_id,
-                          base + jnp.uint32(_DIM_SCATTER))
-        s1 = rng.uniform1(seed, pixel_id, sample_id,
-                          base + jnp.uint32(_DIM_SCATTER_TYPE))
+        if samples is not None:
+            s2, s1 = pre_s2, pre_s1    # s1 == rr_u, as in the reference
+        else:
+            s2 = rng.uniform2(seed, pixel_id, sample_id,
+                              base + jnp.uint32(_DIM_SCATTER))
+            s1 = rng.uniform1(seed, pixel_id, sample_id,
+                              base + jnp.uint32(_DIM_SCATTER_TYPE))
         samp = lb.sample_lobes(lobed, ns, ng, wo, s2, s1, lb.ALL,
                                tx=dg.get('Tx'), ty=dg.get('Ty'),
                                types_present=getattr(scene, 'lobe_types',

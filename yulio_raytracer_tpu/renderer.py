@@ -46,32 +46,50 @@ def _sync(x):
 
 def _trace_one_sample(scene, camera, params, width, height, spp,
                       pixel_ids, sample_ids, seed, backplate=None,
-                      pixel_filter: str = 'box'):
-    """Generate + integrate one camera sample per listed pixel."""
+                      pixel_filter: str = 'box', samples=None):
+    """Generate + integrate one camera sample per listed pixel.
+
+    samples: optional precomputed sample-set tables (the reference's
+    SamplerFactory mode, sampling/precomputed.py) — pixel/lens/time come
+    from table gathers keyed by the pixel's tile-seeded set pick
+    (integratorrenderer.cpp:149-160) instead of stateless hashing."""
     px = (pixel_ids % width).astype(jnp.float32)
     py = (pixel_ids // width).astype(jnp.float32)
-    if pixel_filter == 'bspline':
+    trace_samples = None
+    if samples is not None:
+        sset = samples['set_ids'][pixel_ids].astype(jnp.int32)
+        sidx = (sample_ids - samples['base']).astype(jnp.int32)
+        juv = samples['pixel'][sset, sidx]      # filter already applied
+        lens = samples['lens'][sset, sidx]
+        trace_samples = dict(set=sset, sidx=sidx,
+                             s1d=samples['s1d'], s2d=samples['s2d'])
+    elif pixel_filter == 'bspline':
         juv = patterns.pixel_sample_bspline(seed, pixel_ids, sample_ids,
                                             spp, DIM_PIXEL)
     else:
         juv = patterns.pixel_sample(seed, pixel_ids, sample_ids, spp,
                                     DIM_PIXEL)
+    if samples is None:
+        lens = patterns.sample_2d(seed, pixel_ids, sample_ids,
+                                  jnp.uint32(DIM_LENS))
     uv = jnp.stack([(px + juv[:, 0]) / width,
                     (py + juv[:, 1]) / height], axis=-1)
-    lens = patterns.sample_2d(seed, pixel_ids, sample_ids,
-                              jnp.uint32(DIM_LENS))
     org, dirn = camera.ray(uv, lens)
-    time = (patterns.sample_1d(seed, pixel_ids, sample_ids,
-                               jnp.uint32(DIM_TIME))
-            if 'mv0' in scene.geom else None)
+    if 'mv0' in scene.geom:
+        time = (samples['time'][sset, sidx] if samples is not None else
+                patterns.sample_1d(seed, pixel_ids, sample_ids,
+                                   jnp.uint32(DIM_TIME)))
+    else:
+        time = None
     return pathtracer.trace(scene, params, org, dirn, seed,
                             pixel_ids, sample_ids, pixel_uv=uv,
-                            backplate=backplate, time=time)
+                            backplate=backplate, time=time,
+                            samples=trace_samples)
 
 
 def _chunk_body(scene, camera, params, width, height, spp,
                 pixel_ids, sample0, seed, backplate,
-                spp_per_pass: int, pixel_filter: str):
+                spp_per_pass: int, pixel_filter: str, samples=None):
     """`spp_per_pass` camera samples for each listed pixel, accumulated
     on-device in a lax.scan (one dispatch renders the whole sample
     chunk).  Returns ((B, 3) radiance SUM, ray count)."""
@@ -81,7 +99,7 @@ def _chunk_body(scene, camera, params, width, height, spp,
         rgb_sum, nrays = carry
         rgb, nr = _trace_one_sample(scene, camera, params, width, height,
                                     spp, pixel_ids, sample0 + s, seed,
-                                    backplate, pixel_filter)
+                                    backplate, pixel_filter, samples)
         return (rgb_sum + rgb, nrays + nr), None
 
     init = (jnp.zeros((pixel_ids.shape[0], 3)), jnp.zeros((), jnp.float32))
@@ -94,11 +112,12 @@ def _chunk_body(scene, camera, params, width, height, spp,
                                    'spp_per_pass', 'pixel_filter'))
 def _render_chunk(scene, camera, params, width, height, spp,
                   pixel_ids, sample0, seed, backplate=None,
-                  spp_per_pass: int = 1, pixel_filter: str = 'box'):
+                  spp_per_pass: int = 1, pixel_filter: str = 'box',
+                  samples=None):
     """One jitted single-device pass over _chunk_body."""
     return _chunk_body(scene, camera, params, width, height, spp,
                        pixel_ids, sample0, seed, backplate,
-                       spp_per_pass, pixel_filter)
+                       spp_per_pass, pixel_filter, samples)
 
 
 @partial(jax.jit, static_argnames=('params', 'spp', 'width', 'height',
@@ -106,7 +125,7 @@ def _render_chunk(scene, camera, params, width, height, spp,
 def _render_chunk_sharded(scene, camera, params, width, height, spp,
                           pixel_ids, sample0, seed, backplate=None,
                           spp_per_pass: int = 1, pixel_filter: str = 'box',
-                          mesh=None):
+                          mesh=None, samples=None):
     """One jitted MULTI-DEVICE pass: the same _chunk_body shard_mapped
     over the mesh's 'px' axis (scene/camera replicated — the reference's
     one-time scene broadcast to render servers, network_device.cpp:100).
@@ -120,20 +139,21 @@ def _render_chunk_sharded(scene, camera, params, width, height, spp,
     1 ulp on CPU)."""
     from jax.sharding import PartitionSpec as P
 
-    def shard_fn(scene_l, camera_l, pid, s0, bp, seed_l):
+    def shard_fn(scene_l, camera_l, pid, s0, bp, seed_l, samples_l):
         rgb, nrays = _chunk_body(scene_l, camera_l, params, width, height,
                                  spp, pid, s0, seed_l, bp,
-                                 spp_per_pass, pixel_filter)
+                                 spp_per_pass, pixel_filter, samples_l)
         return rgb, jax.lax.psum(nrays, 'px')
 
     repl = lambda tree: jax.tree.map(lambda _: P(), tree)
     rgb, nrays = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(repl(scene), repl(camera), P('px'), P('px'),
-                  repl(backplate), P()),
+                  repl(backplate), P(), repl(samples)),
         out_specs=(P('px'), P()),
         check_vma=False,
-    )(scene, camera, pixel_ids, sample0, backplate, jnp.uint32(seed))
+    )(scene, camera, pixel_ids, sample0, backplate, jnp.uint32(seed),
+      samples)
     return rgb, nrays
 
 
@@ -170,8 +190,16 @@ def render_frame(scene, camera, params, width: int, height: int, spp: int,
                  max_rays_per_pass: Optional[int] = None,
                  spp_per_pass_cap: int = 8,
                  backplate=None, progress_cb=None, stop_flag=None,
-                 pixel_filter: str = 'box', mesh=None):
+                 pixel_filter: str = 'box', mesh=None,
+                 sampler: str = 'stateless'):
     """Render spp samples/pixel into the film (creating it if needed).
+
+    sampler: 'stateless' (default — per-ray hashed stratification) or
+    'precomputed' — the reference's 64-sample-set mode
+    (sampler.cpp:85-160 sequences, bit-exact per
+    sampling/precomputed.py), enabling sample-level A/B against a CPU
+    build of the reference.  Precomputed tables cover
+    RoundUpPow2(spp) samples; pass a power-of-two spp for exact parity.
 
     Deterministic per (scene, spp, seed, iteration).  Returns
     (film, FrameStats).  `progress_cb(fraction)` mirrors the reference's
@@ -189,6 +217,18 @@ def render_frame(scene, camera, params, width: int, height: int, spp: int,
     stop work identically (per-pass budgets scale by the device count).
     """
     import time
+    samples = None
+    if sampler == 'precomputed':
+        from .sampling import precomputed as pc
+        tabs = pc.build_tables(spp, iteration,
+                               num_1d=params.max_depth,
+                               num_2d=1 + params.max_depth,
+                               pixel_filter=pixel_filter)
+        samples = {k: jnp.asarray(v) for k, v in tabs.items()}
+        samples['set_ids'] = jnp.asarray(pc.tile_set_ids(width, height))
+        samples['base'] = jnp.uint32(iteration * spp)
+    elif sampler != 'stateless':
+        raise ValueError("sampler must be 'stateless' or 'precomputed'")
     n_px = 1
     if mesh is not None:
         n_px = int(np.prod(list(mesh.shape.values())))
@@ -299,13 +339,14 @@ def render_frame(scene, camera, params, width: int, height: int, spp: int,
             rgb, nrays = _render_chunk_sharded(
                 scene, camera, params, width, height, spp, pixel_ids,
                 sample0, np.uint32(seed), backplate, spp_per_pass=nsamp,
-                pixel_filter=pixel_filter, mesh=mesh)
+                pixel_filter=pixel_filter, mesh=mesh, samples=samples)
         else:
             rgb, nrays = _render_chunk(scene, camera, params, width,
                                        height, spp, pixel_ids, sample0,
                                        np.uint32(seed), backplate,
                                        spp_per_pass=nsamp,
-                                       pixel_filter=pixel_filter)
+                                       pixel_filter=pixel_filter,
+                                       samples=samples)
         # scatter back by pixel id (rays run in tiled order; duplicated
         # ids from sample-major batches accumulate via scatter-add)
         if samples_per_batch > 1:

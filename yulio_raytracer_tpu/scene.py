@@ -21,6 +21,15 @@ kind the front-ends emit) is covered: every rtTransformPrimitive /
 re-instanced <ref> bakes its transform into vertices here, which is also
 the TPU-optimal layout (one flat SoA table; a traversal-time transform
 per instance would add per-ray matrix gathers to the hot kernel).
+
+Measured at HBM scale (scripts/bench_instancing.py, one v5e chip,
+2026-08): 16 flattened copies of the 238k-tri sponza_like interior =
+3.81M tris -> 244 MB packed triangle rows + 0.7 MB nodes (HBM-streamed,
+leaf 512), camera-packet traversal 4.8 Mrays/s.  Two-level instancing
+would cut triangle storage 16x (to 15 MB) on a 16 GB-HBM part that is
+1.5% full — no memory case until ~250M unique-instance triangles, far
+past production scenes — while adding a per-ray top-level round +
+instance transforms to every traversal.  Decision stands, with data.
 """
 from __future__ import annotations
 
@@ -127,6 +136,15 @@ class SceneBuilder:
             mb_bounds = (_ppt.motion_bounds(
                 packed.v0, packed.e1, packed.e2, packed.mv0, packed.me1,
                 packed.me2) if has_motion else None)
+            # skip leaf sizes that provably cannot fit SMEM before paying
+            # for a build: a binary tree over ceil(n/L) leaves has at
+            # least 2*ceil(n/L)-1 nodes, so any L below that bound would
+            # be built only to be discarded (measured: a 3.8M-tri commit
+            # at requested leaf 32 spent 5 full builds climbing to 512)
+            while (leaf_size < 512
+                   and 2 * ((n_tris + leaf_size - 1) // leaf_size) - 1
+                       > MAX_SMEM_NODES):
+                leaf_size = min(leaf_size * 2, 512)
             tree = gbvh.build(packed.v0, packed.e1, packed.e2, packed.valid,
                               leaf_size=leaf_size, bounds=mb_bounds)
             # the packet kernel keeps the flat BVH in SMEM (1 MB): grow
