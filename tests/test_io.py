@@ -85,6 +85,20 @@ def test_ecs_include_recursion(tmp_path):
     assert settings.spp == 4
 
 
+def test_renderer_block_sampler_mode(tmp_path):
+    """`-renderer pathtracer { sampler = precomputed }` selects the
+    reference's 64-sample-set mode (sampler.cpp:85-160)."""
+    f = tmp_path / "r.ecs"
+    f.write_text("-renderer pathtracer { sampler = precomputed spp = 2 }\n")
+    settings, _ = ecs.parse_ecs(str(f))
+    assert settings.sampler == 'precomputed'
+    assert settings.spp == 2
+    f2 = tmp_path / "r2.ecs"
+    f2.write_text("-renderer pathtracer { sampler = stateless }\n")
+    settings2, _ = ecs.parse_ecs(str(f2))
+    assert settings2.sampler == 'stateless'
+
+
 def test_unknown_tag_raises():
     ts = ecs.TokenStream("-bogus 1")
     with pytest.raises(ValueError, match="unknown command-line tag"):

@@ -74,6 +74,7 @@ def render_mono(scene, settings: gecs.RenderSettings, out_file: str,
             accumulate=bool(settings.accumulate) or frame == 0,
             seed=seed, backplate=_bp(settings),
             pixel_filter=settings.pixel_filter,
+            sampler=settings.sampler,
             progress_cb=progress_cb, stop_flag=stop_flag, mesh=mesh)
         stats_total = stats
     img = tonemap.tonemap(accum.resolve(film), gamma=settings.gamma,
@@ -151,6 +152,7 @@ def render_stereo(sb, settings: gecs.RenderSettings, rigs,
                     scene_static, cam, params, size, size, settings.spp,
                     seed=seed, backplate=_bp(settings),
                     pixel_filter=settings.pixel_filter,
+                    sampler=settings.sampler,
                     progress_cb=(lambda f: progress_cb(
                         (ci * 12 + face_index + f) / total_faces))
                     if progress_cb else None,

@@ -67,6 +67,10 @@ class RenderSettings:
     # pixel reconstruction filter: the reference defaults to b-spline
     # (integratorrenderer.cpp:45-49)
     pixel_filter: str = 'bspline'
+    # sample generator: 'stateless' (TPU default) or 'precomputed' = the
+    # reference's exact 64-sample-set sequences (sampler.cpp:85-160;
+    # sampling/precomputed.py) for sample-level A/B parity renders
+    sampler: str = 'stateless'
     # multi-chip pixel data parallelism (the `-connect host1 host2 ...`
     # analog, renderer.cpp:948-956): 1 = single device, 0 = every
     # visible device, N = first N devices of jax.devices()
@@ -307,7 +311,10 @@ def _parse_renderer_block(tokens: TokenStream, settings: RenderSettings,
             settings.pixel_filter = tokens.get().lower().replace(
                 'bsplinefilter', 'bspline').replace('boxfilter', 'box')
         elif key == 'sampler':
-            tokens.get()
+            v = tokens.get().lower()
+            settings.sampler = ('precomputed' if v in
+                                ('precomputed', 'multijittered', 'default')
+                                else 'stateless')
         else:
             tokens.get()
     tokens.get()
