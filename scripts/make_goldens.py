@@ -24,7 +24,7 @@ import numpy as np  # noqa: E402
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), 'assets', 'golden')
 
-# name -> (scene thunk, camera thunk, max_depth, spp)
+# name -> (scene thunk, camera thunk, max_depth, spp, commit kwargs[, res])
 # Shared by bench.py: the TPU side must render the IDENTICAL config.
 CONFIGS = {
     'colonnade_64': ('colonnade', 'colonnade_camera', 3, 8,
@@ -32,6 +32,12 @@ CONFIGS = {
     'sponza_64': ('sponza_like', 'sponza_like_camera', 2, 4,
                   dict(leaf_size=32)),
     'motion_64': ('motion_field', 'motion_field_camera', 2, 16, {}),
+    # fast-tier dielectric golden for the default pytest run (the full
+    # 64^2 spp-32 depth-8 render is ~190 s on this 1-core box and lives
+    # behind -m slow; this 32^2 config pins the same refraction/Beer/
+    # texture semantics in ~1/20 the work)
+    'sphere_glass_32': ('sphere_glass', 'sphere_glass_camera', 6, 8,
+                        {}, 32),
 }
 SEED = 42
 RES = 64
@@ -43,11 +49,13 @@ def render_config(name):
     from yulio_raytracer_tpu import renderer
     from yulio_raytracer_tpu.film import accum
 
-    scene_fn, cam_fn, depth, spp, ckw = CONFIGS[name]
+    cfg = CONFIGS[name]
+    scene_fn, cam_fn, depth, spp, ckw = cfg[:5]
+    res = cfg[5] if len(cfg) > 5 else RES
     scene = getattr(builtin_scenes, scene_fn)().commit(**ckw)
-    cam = getattr(builtin_scenes, cam_fn)(RES, RES)
+    cam = getattr(builtin_scenes, cam_fn)(res, res)
     film, _ = renderer.render_frame(scene, cam, pt.PTParams(max_depth=depth),
-                                    RES, RES, spp=spp, seed=SEED)
+                                    res, res, spp=spp, seed=SEED)
     return np.asarray(accum.resolve(film))
 
 

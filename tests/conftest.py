@@ -8,6 +8,10 @@ import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Silence XLA:CPU AOT-loader warnings emitted on every persistent-cache
+# hit (the compile/host feature lists differ only in the XLA pseudo-
+# features +prefer-no-{scatter,gather}; loads succeed on this machine).
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -20,3 +24,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compile cache: the suite is compile-dominated on this 1-core
+# box (~27 min cold, every test re-jitting its render graphs).  Warm runs
+# reload XLA:CPU AOT results from disk instead, the same mechanism
+# api/session.py uses on TPU (VERDICT r2 item 5/9).
+_cache = os.environ.get("JAX_TEST_CACHE_DIR",
+                        os.path.expanduser("~/.cache/yulio_test_jax_cache"))
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
