@@ -90,8 +90,10 @@ def test_different_seed_converges_to_same_image():
     scene = builtin_scenes.cornell_box().commit()
     cam = builtin_scenes.cornell_camera(64, 64)
     p = pt.PTParams(max_depth=4)
-    f1, _ = renderer.render_frame(scene, cam, p, 64, 64, spp=64, seed=1)
-    f2, _ = renderer.render_frame(scene, cam, p, 64, 64, spp=64, seed=2)
+    # spp 16 keeps the default run fast (measured 45.7 dB; the 30 dB
+    # gate allows for MC-noise variance across environments)
+    f1, _ = renderer.render_frame(scene, cam, p, 64, 64, spp=16, seed=1)
+    f2, _ = renderer.render_frame(scene, cam, p, 64, 64, spp=16, seed=2)
     a = np.asarray(accum.resolve(f1))
     b = np.asarray(accum.resolve(f2))
     assert _psnr(a, b) > 30.0

@@ -1,24 +1,42 @@
 """Observability hooks: XLA device tracing + commit metrics (the
 reference's fps/mrps prints + Embree BENCHMARK_BUILD analog)."""
-import glob
 import os
-
-import jax.numpy as jnp
+import subprocess
+import sys
 
 from yulio_raytracer_tpu.utils import profiling
 from yulio_raytracer_tpu.io import builtin_scenes
 
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_TRACE_DRIVER = """
+import glob, os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from yulio_raytracer_tpu.utils import profiling
+out = sys.argv[1]
+with profiling.trace(out):
+    with profiling.annotate("tiny-matmul"):
+        x = jnp.ones((128, 128))
+        jax.block_until_ready(x @ x)
+# jax.profiler.trace writes plugins/profile/<run>/*.xplane.pb
+found = glob.glob(os.path.join(out, '**', '*.xplane.pb'), recursive=True)
+sys.exit(0 if found else 1)
+"""
+
 
 def test_trace_writes_profile(tmp_path):
-    import jax
-    with profiling.trace(str(tmp_path)):
-        with profiling.annotate("tiny-matmul"):
-            x = jnp.ones((128, 128))
-            jax.block_until_ready(x @ x)
-    # jax.profiler.trace writes plugins/profile/<run>/*.xplane.pb
-    found = glob.glob(os.path.join(str(tmp_path), '**', '*.xplane.pb'),
-                      recursive=True)
-    assert found, "no trace artifact written"
+    """Runs in a fresh subprocess: the xplane dump serializes the whole
+    process's accumulated XLA state, so tracing inside the long-lived
+    suite process takes 30-90 s and depends on test order."""
+    env = dict(os.environ)
+    env['PYTHONPATH'] = ROOT + os.pathsep + env.get('PYTHONPATH', '')
+    r = subprocess.run([sys.executable, '-c', _TRACE_DRIVER,
+                        str(tmp_path)], env=env, capture_output=True,
+                       text=True, timeout=300)
+    assert r.returncode == 0, \
+        f"no trace artifact written\n{r.stdout}\n{r.stderr}"
 
 
 def test_commit_stats():

@@ -21,10 +21,16 @@ def test_obj2xml_roundtrip(tmp_path):
     assert r.returncode == 0, r.stderr
     assert os.path.exists(xml)
     assert os.path.exists(str(tmp_path / "cb.bin"))
-    # and the XML loads back through the scene loader
+    # and the XML loads back through the scene loader (in-process: the
+    # CLI surface is already exercised by the obj2xml subprocess above,
+    # and each subprocess pays ~6 s of sitecustomize/jax startup)
     obj = str(tmp_path / "back.obj")
-    r2 = _run('xml2obj.py', xml, obj)
-    assert r2.returncode == 0, r2.stderr
+    sys.path.insert(0, os.path.join(REPO, 'tools'))
+    try:
+        import xml2obj
+        assert xml2obj.main([xml, obj]) in (0, None)
+    finally:
+        sys.path.pop(0)
     body = open(obj).read()
     # 15 quads (5 walls + 2 boxes x 5 faces) -> 30 triangles
     assert body.count('\nf ') == 30

@@ -97,7 +97,11 @@ class StereoCube:
     left, up, down; index < 6 = left eye (-0.5 offset), else right eye.
     """
     local2world: jnp.ndarray
-    cube_face_index: int = field(metadata=dict(static=True), default=0)
+    # a DATA field (traced), not static: all 12 per-viewpoint cameras
+    # share ONE compiled render graph (the reference pays zero compile
+    # cost; baking the face index as a constant recompiled the full
+    # pipeline 12x per stereo render)
+    cube_face_index: int = 0
     origin: Optional[jnp.ndarray] = None
     up: tuple = field(metadata=dict(static=True), default=(0.0, 1.0, 0.0))
     scene_scale: float = field(metadata=dict(static=True), default=1.0)
@@ -137,10 +141,18 @@ class StereoCube:
         return faces, front, origin, up
 
     def ray(self, pixel, sample):
-        """StereoCubeCamera::ray (StereoCubeCamera.h:68-161), batched."""
+        """StereoCubeCamera::ray (StereoCubeCamera.h:68-161), batched.
+
+        The face index is a traced value: both the side-face and the
+        up/down-face angle formulas run and a mask selects per ray, so
+        one compiled graph serves all 12 cameras.  The selected values
+        are the same elementwise formulas as the per-face branches; the
+        unselected branch may produce NaN (normalize of a zero vector at
+        the exact face center) which jnp.where discards."""
         faces, front, origin, up = self._faces()
-        face = self.cube_face_index % 6
-        p2w = faces[face]
+        idx = jnp.asarray(self.cube_face_index, jnp.int32)
+        face = idx % 6
+        p2w = jnp.stack(faces)[face]
         px = pixel[:, 0]
         ypix = 1.0 - pixel[:, 1]
         fvx, fvy, fvz = front[0], front[1], front[2]
@@ -149,33 +161,39 @@ class StereoCube:
         def sign(x):
             return jnp.where(x < 0.0, -1.0, 1.0)
 
-        if face in (0, 1, 2, 3):
-            xdir = vm.normalize(px[:, None] * fvx + 0.5 * fvy + fvz)
-            theta = jnp.arccos(jnp.clip(vm.dot(xdir, xyz_straight), -1, 1)) \
-                * sign(px - 0.5)
-            ydir = vm.normalize(0.5 * fvx + ypix[:, None] * fvy + fvz)
-            yang = jnp.rad2deg(jnp.arccos(
-                jnp.clip(vm.dot(ydir, xyz_straight), -1, 1))) \
-                * sign(ypix - 0.5)
-            abs_vert = jnp.abs(yang)
-        else:
-            xy = jnp.stack([px - 0.5, ypix - 0.5, jnp.zeros_like(px)],
-                           axis=-1)
-            xyn = vm.normalize(xy)
-            xy_up = jnp.asarray([0.0, -1.0, 0.0]) if face == 4 \
-                else jnp.asarray([0.0, 1.0, 0.0])
-            theta = jnp.arccos(jnp.clip(vm.dot(xyn, xy_up), -1, 1)) \
-                * sign(px - 0.5)
-            xyzdir = vm.normalize(px[:, None] * fvx
-                                  + ypix[:, None] * fvy + fvz)
-            xyzang = jnp.rad2deg(jnp.arccos(
-                jnp.clip(vm.dot(xyzdir, xyz_straight), -1, 1)))
-            abs_vert = 90.0 - jnp.abs(xyzang)
+        # side faces (0-3): horizontal/vertical angles off the face center
+        xdir = vm.normalize(px[:, None] * fvx + 0.5 * fvy + fvz)
+        theta_side = jnp.arccos(jnp.clip(vm.dot(xdir, xyz_straight),
+                                         -1, 1)) * sign(px - 0.5)
+        ydir = vm.normalize(0.5 * fvx + ypix[:, None] * fvy + fvz)
+        yang = jnp.rad2deg(jnp.arccos(
+            jnp.clip(vm.dot(ydir, xyz_straight), -1, 1))) \
+            * sign(ypix - 0.5)
+        abs_vert_side = jnp.abs(yang)
+
+        # up/down faces (4, 5): head rotation from the in-face 2D angle
+        xy = jnp.stack([px - 0.5, ypix - 0.5, jnp.zeros_like(px)],
+                       axis=-1)
+        xyn = vm.normalize(xy)
+        xy_up = jnp.where(face == 4,
+                          jnp.asarray([0.0, -1.0, 0.0]),
+                          jnp.asarray([0.0, 1.0, 0.0]))
+        theta_tb = jnp.arccos(jnp.clip(vm.dot(xyn, xy_up), -1, 1)) \
+            * sign(px - 0.5)
+        xyzdir = vm.normalize(px[:, None] * fvx
+                              + ypix[:, None] * fvy + fvz)
+        xyzang = jnp.rad2deg(jnp.arccos(
+            jnp.clip(vm.dot(xyzdir, xyz_straight), -1, 1)))
+        abs_vert_tb = 90.0 - jnp.abs(xyzang)
+
+        is_side = face < 4
+        theta = jnp.where(is_side, theta_side, theta_tb)
+        abs_vert = jnp.where(is_side, abs_vert_side, abs_vert_tb)
 
         # effective eye separation with vertical stereo falloff (:127-144)
         eye_sep = self.eye_separation * self.scene_scale
         zero_par = self.zero_parallax * self.scene_scale
-        eye_off = eye_sep * (-0.5 if self.cube_face_index < 6 else 0.5)
+        eye_off = eye_sep * jnp.where(idx < 6, -0.5, 0.5)
         fall = 1.0 - vm.smoothstep(
             0.0, 1.0, vm.smoothstep(self.falloff_angle, 90.0, abs_vert))
         eye_off = jnp.where(abs_vert > self.falloff_angle,

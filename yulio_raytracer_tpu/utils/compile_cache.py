@@ -16,9 +16,22 @@ _enabled = False
 
 def enable(cache_dir: str | None = None) -> str:
     """Idempotently turn on the persistent compilation cache.  Safe to
-    call before or after jax initialization."""
+    call before or after jax initialization.
+
+    Respects a cache dir that is already configured (explicit arg >
+    existing jax config > env var > default): a host process (e.g. the
+    test suite) that pointed jax at its own cache must not have it
+    switched out from under it mid-process — that turns every
+    subsequent compile into a miss against the old cache."""
     global _enabled
-    path = (cache_dir or os.environ.get('JAX_COMPILATION_CACHE_DIR')
+    configured = None
+    try:
+        import jax
+        configured = jax.config.jax_compilation_cache_dir
+    except Exception:
+        pass
+    path = (cache_dir or configured
+            or os.environ.get('JAX_COMPILATION_CACHE_DIR')
             or _DEFAULT_DIR)
     os.makedirs(path, exist_ok=True)
     os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', path)
