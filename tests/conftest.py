@@ -19,6 +19,13 @@ if "xla_force_host_platform_device_count" not in flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Keep big numpy buffers in the heap arena: this host's fresh-page
+# faults run at MB/s, and with default thresholds every large temporary
+# is a fresh mmap (utils/hostmem.py docstring has the measurements).
+from yulio_raytracer_tpu.utils import hostmem  # noqa: E402
+
+hostmem.tune_malloc()
+
 # The axon TPU plugin (sitecustomize) sets jax_platforms programmatically,
 # which beats the env var — override it back to CPU before first backend use.
 import jax  # noqa: E402

@@ -19,8 +19,10 @@ import numpy as np
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
 
-    from ..utils import compile_cache
+    from ..utils import compile_cache, hostmem
     compile_cache.enable()
+    # overlap slow host page faults with scene IO + first compile
+    hostmem.prefault_async()
 
     from ..io import ecs as gecs
     from ..scene import SceneBuilder

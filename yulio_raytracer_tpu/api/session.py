@@ -142,8 +142,10 @@ class RenderSession:
             self._tracker.add_error(ErrorCodeRT.MissingColladaFile)
             return False
 
-        from ..utils import compile_cache
+        from ..utils import compile_cache, hostmem
         compile_cache.enable()
+        # overlap slow host page faults with scene IO + first compile
+        hostmem.prefault_async()
         self._stop.clear()
         self._tracker.set_state(StateRT.Initialiazing)
         self._thread = threading.Thread(

@@ -61,7 +61,7 @@ class HostMesh:
             linv_t = np.linalg.inv(l)
             nrm = self.normals @ linv_t
             nlen = np.linalg.norm(nrm, axis=-1, keepdims=True)
-            nrm = (nrm / np.maximum(nlen, 1e-20)).astype(np.float32)
+            nrm = (nrm / np.maximum(nlen, 1e-20)).astype(np.float32, copy=False)
         mot = (np.asarray(self.motions @ l, np.float32)
                if self.motions is not None else None)
 
@@ -69,7 +69,7 @@ class HostMesh:
             return (np.asarray(t @ l, np.float32)
                     if t is not None else None)
 
-        return HostMesh(pos.astype(np.float32), self.triangles, nrm,
+        return HostMesh(pos.astype(np.float32, copy=False), self.triangles, nrm,
                         self.texcoords, mot, _tvec(self.tangent_x),
                         _tvec(self.tangent_y), self.material, self.light,
                         self.cull, self.illum_mask, self.shadow_mask)
@@ -122,7 +122,7 @@ def billboard_transform(orig_transform: np.ndarray, cam_pos, cam_up
     # embree composition T(primPos) * look * makeVertical * scale applies
     # right-to-left; in the row-vector convention x' = x @ (S L_vert L_look)
     lin = sc @ rot @ look
-    return np.concatenate([lin, prim_pos[None]], axis=0).astype(np.float32)
+    return np.concatenate([lin, prim_pos[None]], axis=0).astype(np.float32, copy=False)
 
 
 @dataclass
@@ -247,8 +247,8 @@ def tangent_frames(e1: np.ndarray, e2: np.ndarray, uv: np.ndarray,
     ty = np.where(ok[:, None], ty, fy)
     ntx = np.linalg.norm(tx, axis=1, keepdims=True)
     nty = np.linalg.norm(ty, axis=1, keepdims=True)
-    return ((tx / np.maximum(ntx, 1e-20)).astype(np.float32),
-            (ty / np.maximum(nty, 1e-20)).astype(np.float32))
+    return ((tx / np.maximum(ntx, 1e-20)).astype(np.float32, copy=False),
+            (ty / np.maximum(nty, 1e-20)).astype(np.float32, copy=False))
 
 
 def add_shade_table(geom: dict) -> dict:
@@ -269,17 +269,17 @@ def add_shade_table(geom: dict) -> dict:
         ptx = geom.pop('ptx')
         pty = geom.pop('pty')
         has = np.isfinite(ptx).all(axis=1, keepdims=True)
-        tx = np.where(has, np.nan_to_num(ptx), tx).astype(np.float32)
+        tx = np.where(has, np.nan_to_num(ptx), tx).astype(np.float32, copy=False)
         ty = np.where(has & np.isfinite(pty).all(axis=1, keepdims=True),
-                      np.nan_to_num(pty), ty).astype(np.float32)
+                      np.nan_to_num(pty), ty).astype(np.float32, copy=False)
     geom['shade_tab'] = np.concatenate([
-        geom['ng'].astype(np.float32),
-        geom['vn'].reshape(t, 9).astype(np.float32),
-        geom['uv'].reshape(t, 6).astype(np.float32),
-        geom['mat_id'].astype(np.float32)[:, None],
-        geom['light_id'].astype(np.float32)[:, None],
-        geom['illum_mask'].astype(np.float32)[:, None],
-        geom['shadow_mask'].astype(np.float32)[:, None],
+        geom['ng'].astype(np.float32, copy=False),
+        geom['vn'].reshape(t, 9).astype(np.float32, copy=False),
+        geom['uv'].reshape(t, 6).astype(np.float32, copy=False),
+        geom['mat_id'].astype(np.float32, copy=False)[:, None],
+        geom['light_id'].astype(np.float32, copy=False)[:, None],
+        geom['illum_mask'].astype(np.float32, copy=False)[:, None],
+        geom['shadow_mask'].astype(np.float32, copy=False)[:, None],
         tx,
         ty,
     ], axis=1)
@@ -325,7 +325,7 @@ def pack_meshes(meshes: list[HostMesh], pad_multiple: int = 128) -> PackedGeomet
                 t = np.asarray(t, np.float32)
                 v = (t[tri[:, 0]] + t[tri[:, 1]] + t[tri[:, 2]]) / 3.0
                 n = np.linalg.norm(v, axis=-1, keepdims=True)
-                return (v / np.maximum(n, 1e-20)).astype(np.float32)
+                return (v / np.maximum(n, 1e-20)).astype(np.float32, copy=False)
             if m.tangent_x is not None and len(m.tangent_x):
                 tx_ = face_mean(m.tangent_x)
                 ty_ = (face_mean(m.tangent_y)
@@ -388,25 +388,25 @@ def pack_meshes(meshes: list[HostMesh], pad_multiple: int = 128) -> PackedGeomet
         if finite.any() else (np.zeros(3), np.zeros(3))
 
     return PackedGeometry(
-        v0=_pad(v0.astype(np.float32)),
-        e1=_pad(e1.astype(np.float32)),
-        e2=_pad(e2.astype(np.float32)),
-        ng=_pad(ng.astype(np.float32)),
-        vn=_pad(vn.astype(np.float32)),
-        uv=_pad(uv.astype(np.float32)),
+        v0=_pad(v0.astype(np.float32, copy=False)),
+        e1=_pad(e1.astype(np.float32, copy=False)),
+        e2=_pad(e2.astype(np.float32, copy=False)),
+        ng=_pad(ng.astype(np.float32, copy=False)),
+        vn=_pad(vn.astype(np.float32, copy=False)),
+        uv=_pad(uv.astype(np.float32, copy=False)),
         mat_id=_pad(mat),
         light_id=_pad(light, fill=-1),
         cull=_pad(cull),
         illum_mask=_pad(im, fill=-1),
         shadow_mask=_pad(sm, fill=-1),
         valid=_pad(valid, fill=False),
-        bbox_lo=bb_lo.astype(np.float32),
-        bbox_hi=bb_hi.astype(np.float32),
-        mv0=_pad(np.concatenate([x[0] for x in movs]).astype(np.float32))
+        bbox_lo=bb_lo.astype(np.float32, copy=False),
+        bbox_hi=bb_hi.astype(np.float32, copy=False),
+        mv0=_pad(np.concatenate([x[0] for x in movs]).astype(np.float32, copy=False))
         if movs else None,
-        me1=_pad(np.concatenate([x[1] for x in movs]).astype(np.float32))
+        me1=_pad(np.concatenate([x[1] for x in movs]).astype(np.float32, copy=False))
         if movs else None,
-        me2=_pad(np.concatenate([x[2] for x in movs]).astype(np.float32))
+        me2=_pad(np.concatenate([x[2] for x in movs]).astype(np.float32, copy=False))
         if movs else None,
         ptx=_pad(np.concatenate(ptxs), fill=np.nan) if ptxs else None,
         pty=_pad(np.concatenate(ptys), fill=np.nan) if ptys else None,

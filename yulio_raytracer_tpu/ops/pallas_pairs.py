@@ -62,14 +62,16 @@ def pack_planes(woop: np.ndarray, geom_host: dict):
     Padding triangles are all-zero: d'_z == 0 never passes the hit test.
     """
     t = woop.shape[1] // 3
-    w = np.asarray(woop, np.float32).reshape(4, t, 3)
-    w = np.transpose(w, (1, 0, 2)).reshape(t, 12)
-    flat = np.concatenate([
-        w, np.asarray(geom_host['ng'], np.float32),
-        np.asarray(geom_host['cull'], np.float32)[:, None]], axis=1)
     gt = (t + TL - 1) // TL
+    # assemble rows in place (slice writes) — a transpose+concatenate
+    # chain here made 3 extra full-table copies, and fresh-page faults
+    # on this host cost far more than the arithmetic
     rows = np.zeros((gt * TL, 16), np.float32)
-    rows[:t] = flat
+    wv = np.asarray(woop, np.float32).reshape(4, t, 3)
+    for i in range(4):
+        rows[:t, 3 * i:3 * i + 3] = wv[i]
+    rows[:t, 12:15] = geom_host['ng']
+    rows[:t, 15] = geom_host['cull']
     planes = np.ascontiguousarray(
         rows.reshape(gt, TL, 16).transpose(0, 2, 1))
     return planes, rows

@@ -107,6 +107,8 @@ class SceneBuilder:
         """Commit the staged scene. When camera-aligned billboards exist,
         view_pos orients them toward that camera origin (the per-view
         rtUpdatePrimitive + rtCommit of renderer.cpp:550-559)."""
+        from .utils import hostmem
+        hostmem.tune_malloc()   # commit's big temporaries reuse the arena
         meshes = []
         for m in self.meshes:
             if getattr(m, 'face_camera', False) and m.orig_transform is not None:
