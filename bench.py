@@ -24,6 +24,38 @@ from yulio_raytracer_tpu.utils import hostmem
 hostmem.tune_malloc()
 
 BASELINE_MRPS_PER_CHIP = 12.5
+# device-init watchdog: a healthy tunneled backend can take minutes to
+# hand out the axon grant (a killed process holds it ~8 min), but an
+# outage hangs jax.devices() indefinitely — bound it so the driver gets
+# a diagnostic line instead of a silent hang
+DEVICE_INIT_TIMEOUT_S = 900
+
+
+def _ensure_device():
+    """Initialize the jax backend on a watchdog thread; hard-exit with
+    one JSON diagnostic line if the tunnel never answers."""
+    import os
+    import threading
+    got = {}
+
+    def _init():
+        import jax
+        got['devices'] = [str(d) for d in jax.devices()]
+
+    t = threading.Thread(target=_init, daemon=True)
+    t.start()
+    t.join(DEVICE_INIT_TIMEOUT_S)
+    if 'devices' not in got:
+        print(json.dumps({
+            "metric": "device_unavailable",
+            "value": 0,
+            "unit": "error",
+            "vs_baseline": 0,
+            "detail": "jax.devices() did not answer within %ds - "
+                      "axon tunnel down?" % DEVICE_INIT_TIMEOUT_S,
+        }), flush=True)
+        os._exit(1)
+    print("# devices: %s" % got['devices'], flush=True)
 PSNR_TARGET_DB = 40.0       # BASELINE.md:16 hardware-parity acceptance
 
 
@@ -262,6 +294,7 @@ def bench_sponza():
 
 
 def main():
+    _ensure_device()
     for name, fn in (("cornell_tpu_vs_cpu_psnr", bench_tpu_psnr),
                      ("sphere_glass_tpu_vs_cpu_psnr",
                       bench_tpu_psnr_glass),
