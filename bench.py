@@ -168,12 +168,19 @@ def bench_colonnade_traversal():
 
 
 def bench_stereo_face():
+    """One production cube face: the REAL StereoCube camera (eye offset,
+    falloff, head rotation — not a pinhole stand-in) at the YulioRT.h
+    production config's load shape.  All 12 faces share one compiled
+    graph (traced face index), so face 1 is representative."""
     from yulio_raytracer_tpu.io import builtin_scenes
     from yulio_raytracer_tpu.integrator import pathtracer as pt
+    from yulio_raytracer_tpu.cameras import cameras as cam
     from yulio_raytracer_tpu import renderer
 
     scene = builtin_scenes.colonnade().commit(leaf_size=32)
-    camera = builtin_scenes.colonnade_camera(1536, 1536)
+    l2w = cam.look_at((-9.0, 2.2, 0.0), (10.0, 1.6, 0.0), (0.0, 1.0, 0.0))
+    rig = cam.make_stereo_rig(l2w, scene_scale=0.05)
+    camera = rig[1]                    # right-face, left eye
     params = pt.PTParams(max_depth=10, t_max_shadow_ray=120.0)
     # same static config for warmup and timed frame (spp is static)
     renderer.render_frame(scene, camera, params, 1536, 1536, spp=2, seed=0)

@@ -16,7 +16,12 @@ Divergences from the reference (deliberate, documented):
 * tMaxShadowRay == inf disables the shadow-cap/jitter/horizon machinery
   entirely (the reference's inf default produces inf-inf = NaN tMax in
   C++, effectively disabling shadows — clearly unintended; finite values
-  reproduce the Yulio dome-lighting trick exactly).
+  reproduce the Yulio dome-lighting trick exactly).  NOTE the faithful
+  finite-cap semantics REPLACE every light sample's tMax — a shadow ray
+  toward an area/quad light overshoots the light and reports occlusion
+  by whatever lies behind it (pathtraceintegrator.cpp:152 does the
+  same), so finite caps only make sense for dome/ambient-lit scenes —
+  exactly the Yulio production configuration (YulioRT.h:41).
 """
 from __future__ import annotations
 
