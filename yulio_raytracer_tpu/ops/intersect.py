@@ -25,8 +25,11 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-INF = jnp.float32(jnp.inf)
+# host-side constant (a jnp scalar here would initialize the XLA
+# backend at import time, breaking jax.distributed.initialize ordering)
+INF = np.float32(np.inf)
 
 
 class Hit(NamedTuple):
