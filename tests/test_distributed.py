@@ -44,6 +44,32 @@ print("proc", pid, "ok", rgb.shape)
 """
 
 
+def test_import_does_not_initialize_backend():
+    """jax.distributed.initialize() must run before ANY backend touch,
+    so importing the package (the full integrator/sharding chain) must
+    not create device values at module scope — a module-level jnp
+    constant broke multi-host bring-up once already (ops/intersect.py
+    INF)."""
+    script = (
+        "import os\n"
+        "os.environ['XLA_FLAGS'] = "
+        "'--xla_force_host_platform_device_count=2'\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from jax._src import xla_bridge\n"
+        "from yulio_raytracer_tpu.parallel import sharding\n"
+        "from yulio_raytracer_tpu.api import output, session, cli\n"
+        "assert not xla_bridge._backends, "
+        "'package import initialized the XLA backend'\n"
+    )
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env['PYTHONPATH'] = REPO + os.pathsep + env.get('PYTHONPATH', '')
+    r = subprocess.run([sys.executable, "-c", script], env=env,
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stdout + r.stderr
+
+
 @pytest.mark.slow
 def test_two_process_distributed_render(tmp_path):
     with socket.socket() as s:
