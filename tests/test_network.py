@@ -195,3 +195,69 @@ def test_incremental_light_update():
     lit = img1.max(axis=-1) > 1e-3
     assert lit.any()
     np.testing.assert_allclose(img2[lit], 2.0 * img1[lit], rtol=1e-5)
+
+
+def test_cli_connect_matches_local(tmp_path):
+    """Front-end device selection (renderer.cpp:948-956): `-connect
+    host:port host:port` renders through the TCP device and the merged
+    result equals the local render of the same .ecs scene."""
+    import os
+    from yulio_raytracer_tpu.api import cli
+    from PIL import Image
+
+    ports = [19481, 19482]
+    servers = [network.RenderServer(p, single_connection=True)
+               for p in ports]
+    threads = [threading.Thread(target=s.serve_forever, daemon=True)
+               for s in servers]
+    for t in threads:
+        t.start()
+    ecs = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'assets', 'scenes',
+        'cornell_box.ecs')
+    net_png = str(tmp_path / "net.png")
+    loc_png = str(tmp_path / "loc.png")
+    args = ['-c', ecs, '-size', '32', '32', '-spp', '2', '-gamma', '1.0']
+    assert cli.main(args + ['-connect', '127.0.0.1:19481',
+                            '127.0.0.1:19482', '-o', net_png]) == 0
+    for s in servers:
+        s.stop()
+    assert cli.main(args + ['-o', loc_png]) == 0
+    a = np.asarray(Image.open(net_png))
+    b = np.asarray(Image.open(loc_png))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_server_cli_entry():
+    """`rt_server` standalone entry (network_server_main.cpp:99-112):
+    python -m ...parallel.network -port P -single-connection."""
+    from yulio_raytracer_tpu.io import builtin_scenes
+    from yulio_raytracer_tpu.integrator import pathtracer as pt
+
+    port = 19483
+    t = threading.Thread(
+        target=network.main,
+        args=(['-port', str(port), '-host', '127.0.0.1', '-encode',
+               'rgbe8', '-single-connection'],), daemon=True)
+    t.start()
+    import time
+    for _ in range(50):                       # wait for the listener
+        time.sleep(0.1)
+        try:
+            client = network.NetworkClient([('127.0.0.1', port)],
+                                           connect_timeout=2.0)
+            break
+        except OSError:
+            continue
+    else:
+        raise AssertionError("server CLI never listened")
+    sb = builtin_scenes.cornell_box(with_boxes=False)
+    client.set_scene(sb)
+    # the server's -encode rgbe8 overrides the requested native tier
+    img, weight = client.render(
+        builtin_scenes.cornell_camera(16, 16),
+        pt.PTParams(max_depth=2), 16, 16, spp=1, seed=0)
+    client.close()
+    t.join(timeout=10)
+    assert (weight == 1.0).all()
+    assert np.isfinite(img).all() and img.max() > 0

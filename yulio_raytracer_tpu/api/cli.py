@@ -50,6 +50,8 @@ def main(argv=None):
         return _stereo_from_settings(settings, sb, scene_file)
 
     from . import output as goutput
+    if settings.connect:
+        return _connect_mode(settings, sb)
     if settings.display:
         return _display_mode(settings, sb)
     scene = sb.commit()
@@ -63,6 +65,48 @@ def main(argv=None):
               f"{dt * 1000.0:.2f} ms, {stats.mrps:.3f} mrps")
     print(f"wrote {out} ({settings.width}x{settings.height}, "
           f"{settings.spp} spp) in {time.time() - t0:.1f}s")
+    return 0
+
+
+def _connect_mode(settings, sb):
+    """-connect host[:port] ...: render through the distributed TCP
+    device (the reference's network device front-end selection,
+    renderer.cpp:948-956).  Every server renders its interleaved 4-row
+    bands; the merged frame is tonemapped + written locally."""
+    import time
+    import numpy as np
+    from ..parallel import network as gnet
+    from ..film import tonemap
+    from ..io import image as gimage
+    from ..integrator import pathtracer as pt
+    from . import output as goutput
+
+    def addr(tok):
+        host, _, port = tok.partition(':')
+        return (host, int(port) if port else 8282)
+
+    camera = goutput.mono_camera(settings)
+    params = goutput.params_from_settings(settings)
+    client = gnet.NetworkClient([addr(t) for t in settings.connect])
+    t0 = time.time()
+    try:
+        client.set_scene(sb)
+        rgb_sum, weight = client.render(
+            camera, params, settings.width, settings.height,
+            settings.spp, seed=0, pixel_filter=settings.pixel_filter)
+    finally:
+        client.close()
+    img = tonemap.tonemap(rgb_sum / np.maximum(weight, 1e-20)[..., None],
+                          gamma=settings.gamma,
+                          vignetting=settings.vignetting)
+    out = settings.out_file or 'out.png'
+    gimage.store(out, np.asarray(img), jpeg_quality=settings.jpeg_quality)
+    n = settings.width * settings.height * settings.spp
+    dt = time.time() - t0
+    print(f"render  {1.0 / max(dt, 1e-9):.2f} fps, {dt * 1000.0:.2f} ms "
+          f"({len(settings.connect)} servers)")
+    print(f"wrote {out} ({settings.width}x{settings.height}, "
+          f"{settings.spp} spp)")
     return 0
 
 

@@ -71,10 +71,12 @@ class RenderSettings:
     # reference's exact 64-sample-set sequences (sampler.cpp:85-160;
     # sampling/precomputed.py) for sample-level A/B parity renders
     sampler: str = 'stateless'
-    # multi-chip pixel data parallelism (the `-connect host1 host2 ...`
-    # analog, renderer.cpp:948-956): 1 = single device, 0 = every
-    # visible device, N = first N devices of jax.devices()
+    # multi-chip pixel data parallelism (`-devices N`): 1 = single
+    # device, 0 = every visible device, N = first N of jax.devices()
     devices: int = 1
+    # `-connect host[:port] ...` (renderer.cpp:948-956): distributed
+    # TCP render servers (parallel/network.py; port defaults to 8282)
+    connect: tuple = ()
 
 
 class TokenStream:
@@ -265,13 +267,12 @@ def parse(tokens: TokenStream, settings: RenderSettings, sb: SceneBuilder,
             settings.devices = tokens.get_int()
         elif tag == '-connect':
             # reference form: every following non-flag token is a server
-            # (renderer.cpp:948-956); here each "server" is a mesh slot,
-            # so N hostnames select an N-device mesh
-            n = 0
+            # address (renderer.cpp:948-956) — selects the distributed
+            # TCP device (parallel/network.py NetworkClient)
+            hosts = []
             while tokens.peek() and not tokens.peek().startswith('-'):
-                tokens.get()
-                n += 1
-            settings.devices = max(n, 1)
+                hosts.append(tokens.get())
+            settings.connect = tuple(settings.connect) + tuple(hosts)
         elif tag == '-threads':
             tokens.get()
         elif tag == '-verbose':

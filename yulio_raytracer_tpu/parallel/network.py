@@ -310,11 +310,16 @@ class RenderServer:
     """`network_server_main.cpp` analog: serve render requests forever."""
 
     def __init__(self, port: int, host: str = '127.0.0.1',
-                 single_connection: bool = False, verbose: bool = False):
+                 single_connection: bool = False, verbose: bool = False,
+                 force_encoding: str = None):
         self.port = port
         self.host = host
         self.single = single_connection
         self.verbose = verbose
+        # the -encode server flag (network_server_main.cpp:58-75):
+        # overrides the client-requested reply encoding
+        self.force_encoding = ({'rgb_float32': 'native'}.get(
+            force_encoding, force_encoding) if force_encoding else None)
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._sock.bind((host, port))
@@ -386,6 +391,8 @@ class RenderServer:
         from ..integrator import pathtracer as pt
         from .. import renderer as grenderer
 
+        if self.force_encoding is not None:
+            msg = {**msg, 'encoding': self.force_encoding}
         if state['scene'] is None:
             state['scene'] = state['builder'].commit()
         scene = state['scene']
@@ -408,7 +415,8 @@ class RenderServer:
                     jnp.asarray(ids),
                     jnp.full((chunk,), np.uint32(s)),
                     np.uint32(msg.get('seed', 0)), None,
-                    spp_per_pass=1)
+                    spp_per_pass=1,
+                    pixel_filter=msg.get('pixel_filter', 'box'))
                 rgb[lo:hi] += np.asarray(out[:hi - lo])
         out = rgb.reshape(len(rows), w, 3)
         if msg.get('encoding') == 'rgbe8':
@@ -455,14 +463,16 @@ class NetworkClient:
             _send(s, OP_UPDATE_LIGHT, {'index': index, 'values': values})
 
     def render(self, camera, params, width, height, spp, seed=0,
-               encoding: str = 'native', jpeg_quality: int = 90):
+               encoding: str = 'native', jpeg_quality: int = 90,
+               pixel_filter: str = 'box'):
         """encoding: 'native' (f32 rows), 'rgbe8' (4 B/px shared-exponent,
         network_device.cpp:256-310) or 'jpeg' (lossy row bands with
         quality 1-100, the `-encode jpeg` tier of network_server.cpp)."""
         msg = {'camera': camera,
                'params': {**params.__dict__}, 'width': width,
                'height': height, 'spp': spp, 'seed': seed,
-               'encoding': encoding, 'jpeg_quality': jpeg_quality}
+               'encoding': encoding, 'jpeg_quality': jpeg_quality,
+               'pixel_filter': pixel_filter}
         for s in self.socks:
             _send(s, OP_RENDER, msg)
         img = np.zeros((height, width, 3), np.float32)
@@ -508,3 +518,50 @@ class NetworkClient:
                 s.close()
             except OSError:
                 pass
+
+
+# --------------------------------------------------------------------------
+# standalone server CLI (network_server_main.cpp:43-112)
+# --------------------------------------------------------------------------
+
+def main(argv=None):
+    """`rt_server` analog: python -m yulio_raytracer_tpu.parallel.network
+    -port 8282 [-host 0.0.0.0] [-encode native|rgbe8|jpeg] [-threads N]
+    [-single-connection] [-verbose].  Flags mirror
+    network_server_main.cpp:43-95 (-device accepted: the only local
+    device kind here is the JAX backend; -threads accepted: XLA manages
+    intra-op parallelism)."""
+    import argparse
+    import sys
+    ap = argparse.ArgumentParser(prog='rt_server')
+    ap.add_argument('-port', '--port', type=int, default=8282)
+    ap.add_argument('-host', '--host', default='0.0.0.0')
+    ap.add_argument('-encode', '--encode', default=None,
+                    choices=('native', 'rgb_float32', 'rgbe8', 'jpeg'))
+    ap.add_argument('-threads', '--threads', type=int, default=0)
+    ap.add_argument('-device', '--device', default=None)
+    ap.add_argument('-single-connection', '--single-connection',
+                    dest='single', action='store_true')
+    ap.add_argument('-verbose', '--verbose', action='store_true')
+    args = ap.parse_args(argv)
+
+    from ..utils import compile_cache, hostmem
+    compile_cache.enable()
+    hostmem.prefault_async()
+    server = RenderServer(args.port, host=args.host,
+                          single_connection=args.single,
+                          verbose=args.verbose,
+                          force_encoding=args.encode)
+    print(f"rt_server listening on {args.host}:{args.port}"
+          + (f" (encode={args.encode})" if args.encode else ""),
+          flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.stop()
+    return 0
+
+
+if __name__ == '__main__':
+    import sys
+    sys.exit(main())
