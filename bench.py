@@ -284,6 +284,14 @@ def bench_psnr_motion():
                       'motion_64_cpu.npz', {}, check)
 
 
+def bench_psnr_stereo():
+    """StereoCube ray-generation path (traced face index, eye offset,
+    vertical falloff, head rotation) on the live device vs the CPU
+    oracle — guards the one-graph-for-12-faces camera."""
+    return _path_psnr('cornell_box', 'cornell_stereo_camera', 2, 8,
+                      'stereo_64_cpu.npz', {})
+
+
 def bench_sponza():
     """Texture-heavy Sponza-class regime (238k tris, 20 textures,
     1024x1024): texture-atlas gather cost at scale."""
@@ -308,7 +316,8 @@ def main():
                      ("hbm_stream_tpu_vs_cpu_psnr", bench_psnr_hbm),
                      ("grid_path_tpu_vs_cpu_psnr", bench_psnr_grid),
                      ("treelet_path_tpu_vs_cpu_psnr", bench_psnr_treelet),
-                     ("motion_packet_tpu_vs_cpu_psnr", bench_psnr_motion)):
+                     ("motion_packet_tpu_vs_cpu_psnr", bench_psnr_motion),
+                     ("stereo_camera_tpu_vs_cpu_psnr", bench_psnr_stereo)):
         psnr = fn()
         print(json.dumps({
             "metric": name,

@@ -38,6 +38,9 @@ CONFIGS = {
     # texture semantics in ~1/20 the work)
     'sphere_glass_32': ('sphere_glass', 'sphere_glass_camera', 6, 8,
                         {}, 32),
+    # StereoCube ray-generation parity (traced face index, eye offset,
+    # falloff, head rotation) — gates the stereo camera path on-chip
+    'stereo_64': ('cornell_box', 'cornell_stereo_camera', 2, 8, {}),
 }
 SEED = 42
 RES = 64

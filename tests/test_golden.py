@@ -32,6 +32,20 @@ def test_cornell_matches_pinned_golden():
     assert _psnr(img, golden) > 60.0
 
 
+def test_stereo_camera_matches_pinned_golden():
+    """StereoCube ray-generation golden (traced face index, eye offset,
+    vertical falloff, head rotation): pins the one-graph-for-12-faces
+    camera path; bench.py renders the same config on TPU."""
+    scene = builtin_scenes.cornell_box().commit()
+    cam = builtin_scenes.cornell_stereo_camera(64, 64)
+    film, _ = renderer.render_frame(scene, cam, pt.PTParams(max_depth=2),
+                                    64, 64, spp=8, seed=42)
+    img = np.asarray(accum.resolve(film))
+    golden = np.load(os.path.join(os.path.dirname(GOLDEN),
+                                  'stereo_64_cpu.npz'))['img']
+    assert _psnr(img, golden) > 60.0
+
+
 def test_sphere_glass_matches_pinned_golden_fast():
     """Dielectric/medium golden (glass sphere + textured floor + dome):
     pins refraction, Beer-law media and texture filtering.  Fast tier:

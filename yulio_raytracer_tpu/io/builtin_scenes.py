@@ -100,6 +100,21 @@ def cornell_camera(width: int = 512, height: int = 512):
     return cam.Pinhole(l2w, angle=37.0, aspect=width / height)
 
 
+def cornell_stereo_camera(width: int = 64, height: int = 64,
+                          face: int = 7):
+    """One face of a production stereo rig inside the Cornell box (the
+    StereoCube ray-generation parity config: eye offset, vertical
+    falloff, head rotation, GearVR flips — used by the on-chip
+    stereo-path PSNR gate).  Default face 7 = right face, right eye.
+    The rig sits INSIDE the box (the box is open at z<0: a viewpoint
+    outside it gives rotated faces nothing to see)."""
+    from ..cameras import cameras as cam
+    l2w = cam.look_at((278.0, 273.0, 150.0), (278.0, 273.0, 559.0),
+                      (0.0, 1.0, 0.0))
+    rig = cam.make_stereo_rig(l2w, scene_scale=10.0)
+    return rig[face]
+
+
 def sphere_glass() -> SceneBuilder:
     """The sphere_glass golden scene (glass sphere over textured floor +
     ambient dome — assets/scenes/sphere_glass.xml, the structure of the
