@@ -197,10 +197,13 @@ def test_incremental_light_update():
     np.testing.assert_allclose(img2[lit], 2.0 * img1[lit], rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_cli_connect_matches_local(tmp_path):
     """Front-end device selection (renderer.cpp:948-956): `-connect
     host:port host:port` renders through the TCP device and the merged
-    result equals the local render of the same .ecs scene."""
+    result equals the local render of the same .ecs scene.  Slow tier:
+    two full CLI renders (~90 s here); the default run keeps the
+    lib-level bit-identity test + the server CLI entry test."""
     import os
     from yulio_raytracer_tpu.api import cli
     from PIL import Image
