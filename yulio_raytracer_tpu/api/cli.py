@@ -16,8 +16,38 @@ import time
 import numpy as np
 
 
+_USAGE = """\
+yulio-raytracer-tpu renderer (TPU-native path tracer)
+
+usage: python -m yulio_raytracer_tpu.api.cli [flags | file.ecs | file.dae]
+
+common flags (full set in io/ecs.py; argv and .ecs files share one
+token language, recursively includable via -c):
+  -c FILE.ecs            include a command file
+  -i SCENE               load scene (.obj/.xml/.dae)
+  -o OUT.png|jpg         render to file (mono)
+  -stereo                12-face stereo cube-map pipeline
+  -size W H  -spp N  -depth N  -gamma G
+  -vp/-vi/-vu/-fov       camera
+  -ambientlight R G B    dome light (plus point/spot/directional/
+                         distant/triangle/quad/hdri light flags)
+  -renderer pathtracer { spp = N depth = N ... }
+  -devices N             fan out over N local chips (0 = all)
+  -connect HOST[:PORT].. distributed TCP render servers
+  -display [-viewer P]   progressive view (web viewer on port P)
+  -regression            random-scene stress loop
+"""
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or '-h' in argv or '-help' in argv or '--help' in argv:
+        print(_USAGE)
+        return 0
+    if '-version' in argv or '--version' in argv:
+        from .. import __version__
+        print(f"yulio-raytracer-tpu {__version__}")
+        return 0
 
     from ..utils import compile_cache, hostmem
     compile_cache.enable()
