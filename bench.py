@@ -37,22 +37,30 @@ def _ensure_device():
     import os
     import threading
     got = {}
+    done = threading.Event()
 
     def _init():
-        import jax
-        got['devices'] = [str(d) for d in jax.devices()]
+        try:
+            import jax
+            got['devices'] = [str(d) for d in jax.devices()]
+        except Exception as e:         # immediate init failure: report it
+            got['error'] = repr(e)
+        finally:
+            done.set()
 
     t = threading.Thread(target=_init, daemon=True)
     t.start()
-    t.join(DEVICE_INIT_TIMEOUT_S)
+    done.wait(DEVICE_INIT_TIMEOUT_S)
     if 'devices' not in got:
+        detail = got.get('error') or (
+            "jax.devices() did not answer within %ds - axon tunnel "
+            "down?" % DEVICE_INIT_TIMEOUT_S)
         print(json.dumps({
             "metric": "device_unavailable",
             "value": 0,
             "unit": "error",
             "vs_baseline": 0,
-            "detail": "jax.devices() did not answer within %ds - "
-                      "axon tunnel down?" % DEVICE_INIT_TIMEOUT_S,
+            "detail": detail,
         }), flush=True)
         os._exit(1)
     print("# devices: %s" % got['devices'], flush=True)

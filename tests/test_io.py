@@ -311,7 +311,10 @@ def test_golden_scene_assets_load_and_render(ecs_name, xml_name):
     assert sb.meshes, xml_name
     scene = sb.commit(view_pos=np.asarray(settings.cam_pos, np.float64))
     camera = goutput.mono_camera(settings)
-    p = pt.PTParams(max_depth=min(settings.depth, 3))
+    # depth -1 is the 'integrator default' sentinel — bounce at least
+    # twice so mirror/transmission/motion bounce paths are exercised
+    depth = 3 if settings.depth < 0 else min(settings.depth, 3)
+    p = pt.PTParams(max_depth=depth)
     film, _ = renderer.render_frame(scene, camera, p, 16, 16, spp=2,
                                     seed=0)
     img = np.asarray(accum.resolve(film))

@@ -77,6 +77,12 @@ def main(argv=None):
         return _regression_loop(settings)
 
     if settings.stereo:
+        if settings.connect:
+            # the TCP device serves the mono/interactive tier; stereo
+            # production fan-out goes through the chip mesh (-devices)
+            raise ValueError(
+                "-stereo over -connect is not supported: use -devices N "
+                "for the stereo pipeline's multi-chip fan-out")
         return _stereo_from_settings(settings, sb, scene_file)
 
     from . import output as goutput
@@ -103,13 +109,20 @@ def _connect_mode(settings, sb):
     device (the reference's network device front-end selection,
     renderer.cpp:948-956).  Every server renders its interleaved 4-row
     bands; the merged frame is tonemapped + written locally."""
-    import time
-    import numpy as np
     from ..parallel import network as gnet
     from ..film import tonemap
     from ..io import image as gimage
-    from ..integrator import pathtracer as pt
     from . import output as goutput
+
+    if settings.sampler != 'stateless':
+        raise ValueError(
+            "-sampler %s is not carried by the render protocol; "
+            "distributed renders use the stateless sampler"
+            % settings.sampler)
+    if settings.num_frames > 1:
+        raise ValueError(
+            "-frames N accumulation is local-only; distributed renders "
+            "render one frame per request")
 
     def addr(tok):
         host, _, port = tok.partition(':')
@@ -123,7 +136,8 @@ def _connect_mode(settings, sb):
         client.set_scene(sb)
         rgb_sum, weight = client.render(
             camera, params, settings.width, settings.height,
-            settings.spp, seed=0, pixel_filter=settings.pixel_filter)
+            settings.spp, seed=0, pixel_filter=settings.pixel_filter,
+            backplate=settings.backplate)
     finally:
         client.close()
     img = tonemap.tonemap(rgb_sum / np.maximum(weight, 1e-20)[..., None],
@@ -131,10 +145,11 @@ def _connect_mode(settings, sb):
                           vignetting=settings.vignetting)
     out = settings.out_file or 'out.png'
     gimage.store(out, np.asarray(img), jpeg_quality=settings.jpeg_quality)
-    n = settings.width * settings.height * settings.spp
     dt = time.time() - t0
-    print(f"render  {1.0 / max(dt, 1e-9):.2f} fps, {dt * 1000.0:.2f} ms "
-          f"({len(settings.connect)} servers)")
+    mrps = settings.width * settings.height * settings.spp / dt / 1e6
+    print(f"render  {1.0 / max(dt, 1e-9):.2f} fps, {dt * 1000.0:.2f} ms, "
+          f"{mrps:.3f} mrps ({len(settings.connect)} servers, "
+          f"camera rays)")
     print(f"wrote {out} ({settings.width}x{settings.height}, "
           f"{settings.spp} spp)")
     return 0

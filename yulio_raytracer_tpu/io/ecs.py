@@ -272,6 +272,9 @@ def parse(tokens: TokenStream, settings: RenderSettings, sb: SceneBuilder,
             hosts = []
             while tokens.peek() and not tokens.peek().startswith('-'):
                 hosts.append(tokens.get())
+            if not hosts:
+                raise ValueError(
+                    "-connect requires at least one host[:port] token")
             settings.connect = tuple(settings.connect) + tuple(hosts)
         elif tag == '-threads':
             tokens.get()

@@ -41,7 +41,8 @@ from typing import Optional
 import numpy as np
 
 MAGICK = 0x32657845   # network_common.h:26
-VERSION = 3           # bump on any wire-format change
+VERSION = 4           # bump on any wire-format change
+                      # v4: OP_RENDER carries pixel_filter + backplate
 _FRAME = struct.Struct(">IHHQI")   # magick, version, opcode, len, crc32
 
 # opcodes (the EMBREE_* command-id table, network_common.h:29-80)
@@ -403,6 +404,8 @@ class RenderServer:
         rows = active_rows(h, server_id, server_count)
         # render only our rows: pass their pixel ids through the chunk API
         import jax.numpy as jnp
+        bp = msg.get('backplate')
+        bp = None if bp is None else jnp.asarray(bp[..., :3], jnp.float32)
         pix = (rows[:, None] * w + np.arange(w)[None, :]).reshape(-1)
         rgb = np.zeros((len(pix), 3), np.float32)
         chunk = 1 << 17
@@ -414,7 +417,7 @@ class RenderServer:
                     scene, camera, params, w, h, spp,
                     jnp.asarray(ids),
                     jnp.full((chunk,), np.uint32(s)),
-                    np.uint32(msg.get('seed', 0)), None,
+                    np.uint32(msg.get('seed', 0)), bp,
                     spp_per_pass=1,
                     pixel_filter=msg.get('pixel_filter', 'box'))
                 rgb[lo:hi] += np.asarray(out[:hi - lo])
@@ -464,7 +467,7 @@ class NetworkClient:
 
     def render(self, camera, params, width, height, spp, seed=0,
                encoding: str = 'native', jpeg_quality: int = 90,
-               pixel_filter: str = 'box'):
+               pixel_filter: str = 'box', backplate=None):
         """encoding: 'native' (f32 rows), 'rgbe8' (4 B/px shared-exponent,
         network_device.cpp:256-310) or 'jpeg' (lossy row bands with
         quality 1-100, the `-encode jpeg` tier of network_server.cpp)."""
@@ -472,7 +475,9 @@ class NetworkClient:
                'params': {**params.__dict__}, 'width': width,
                'height': height, 'spp': spp, 'seed': seed,
                'encoding': encoding, 'jpeg_quality': jpeg_quality,
-               'pixel_filter': pixel_filter}
+               'pixel_filter': pixel_filter,
+               'backplate': (None if backplate is None
+                             else np.asarray(backplate, np.float32))}
         for s in self.socks:
             _send(s, OP_RENDER, msg)
         img = np.zeros((height, width, 3), np.float32)
