@@ -240,6 +240,7 @@ def _stereo_from_settings(settings, sb, scene_file):
         eye_separation=settings.eye_separation,
         zero_parallax=settings.zero_parallax,
         toe_in=settings.toe_in))]
+    scene_file = scene_file or settings.scene_file
     base = (os.path.splitext(os.path.basename(scene_file))[0]
             if scene_file else 'stereo')
     written, _ = goutput.render_stereo(sb, settings, rigs, base, '.')

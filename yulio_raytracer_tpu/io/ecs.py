@@ -54,6 +54,9 @@ class RenderSettings:
     vignetting: bool = False
     framebuffer: str = 'RGB8'
     out_file: str = ''
+    # last -i scene path (set by parse; names stereo outputs
+    # <scene>_<camera>.jpg like renderer.cpp:717-724)
+    scene_file: str = ''
     num_frames: int = 1
     jpeg_quality: int = 90
     renderer: str = 'pathtracer'
@@ -139,6 +142,7 @@ def parse(tokens: TokenStream, settings: RenderSettings, sb: SceneBuilder,
 
         elif tag == '-i':
             fn = os.path.join(base_path, tokens.get())
+            settings.scene_file = fn   # output naming: <scene>_<cam>.jpg
             load_scene_file(fn, settings, sb)
 
         elif tag == '-trisphere':
