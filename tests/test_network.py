@@ -264,3 +264,42 @@ def test_server_cli_entry():
     t.join(timeout=10)
     assert (weight == 1.0).all()
     assert np.isfinite(img).all() and img.max() > 0
+
+
+@pytest.mark.slow
+def test_stereo_over_tcp_matches_local(tmp_path):
+    """The network Device serves the stereo output mode too: a 12-face
+    strip rendered through two TCP servers equals the local strip
+    (device selection precedes outputMode, renderer.cpp:948-956).
+    Exercises the per-viewpoint billboard recommit over the wire
+    (view_pos in OP_RENDER).  Slow tier: 24 face renders + 2 full CLI
+    invocations (~5 min cold on this box)."""
+    import os
+    from yulio_raytracer_tpu.api import cli
+    from PIL import Image
+
+    ecs_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'assets', 'scenes', 'test_stereo.ecs')
+    args = ['-c', ecs_path, '-size', '8', '8', '-spp', '1', '-depth', '2']
+
+    old = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        assert cli.main(args) == 0
+        os.rename('test_stereo_view.jpg', 'local.jpg')
+        ports = [19491, 19492]
+        servers = [network.RenderServer(p, single_connection=True)
+                   for p in ports]
+        threads = [threading.Thread(target=s.serve_forever, daemon=True)
+                   for s in servers]
+        for t in threads:
+            t.start()
+        assert cli.main(args + ['-connect', '127.0.0.1:19491',
+                                '127.0.0.1:19492']) == 0
+        for s in servers:
+            s.stop()
+        a = np.asarray(Image.open('local.jpg'))
+        b = np.asarray(Image.open('test_stereo_view.jpg'))
+    finally:
+        os.chdir(old)
+    np.testing.assert_array_equal(a, b)

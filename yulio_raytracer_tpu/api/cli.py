@@ -77,12 +77,6 @@ def main(argv=None):
         return _regression_loop(settings)
 
     if settings.stereo:
-        if settings.connect:
-            # the TCP device serves the mono/interactive tier; stereo
-            # production fan-out goes through the chip mesh (-devices)
-            raise ValueError(
-                "-stereo over -connect is not supported: use -devices N "
-                "for the stereo pipeline's multi-chip fan-out")
         return _stereo_from_settings(settings, sb, scene_file)
 
     from . import output as goutput
@@ -109,28 +103,18 @@ def _connect_mode(settings, sb):
     device (the reference's network device front-end selection,
     renderer.cpp:948-956).  Every server renders its interleaved 4-row
     bands; the merged frame is tonemapped + written locally."""
-    from ..parallel import network as gnet
     from ..film import tonemap
     from ..io import image as gimage
     from . import output as goutput
 
-    if settings.sampler != 'stateless':
-        raise ValueError(
-            "-sampler %s is not carried by the render protocol; "
-            "distributed renders use the stateless sampler"
-            % settings.sampler)
     if settings.num_frames > 1:
         raise ValueError(
             "-frames N accumulation is local-only; distributed renders "
             "render one frame per request")
 
-    def addr(tok):
-        host, _, port = tok.partition(':')
-        return (host, int(port) if port else 8282)
-
     camera = goutput.mono_camera(settings)
     params = goutput.params_from_settings(settings)
-    client = gnet.NetworkClient([addr(t) for t in settings.connect])
+    client = _make_client(settings)
     t0 = time.time()
     try:
         client.set_scene(sb)
@@ -243,10 +227,36 @@ def _stereo_from_settings(settings, sb, scene_file):
     scene_file = scene_file or settings.scene_file
     base = (os.path.splitext(os.path.basename(scene_file))[0]
             if scene_file else 'stereo')
-    written, _ = goutput.render_stereo(sb, settings, rigs, base, '.')
+    client = None
+    if settings.connect:
+        # the network Device serves every output mode, stereo included
+        # (renderer.cpp:948-956 device selection precedes outputMode)
+        client = _make_client(settings)
+        client.set_scene(sb)
+    try:
+        written, _ = goutput.render_stereo(sb, settings, rigs, base, '.',
+                                           client=client)
+    finally:
+        if client is not None:
+            client.close()
     for w in written:
         print(f"wrote {w}")
     return 0
+
+
+def _make_client(settings):
+    from ..parallel import network as gnet
+
+    def addr(tok):
+        host, _, port = tok.partition(':')
+        return (host, int(port) if port else 8282)
+
+    if settings.sampler != 'stateless':
+        raise ValueError(
+            "-sampler %s is not carried by the render protocol; "
+            "distributed renders use the stateless sampler"
+            % settings.sampler)
+    return gnet.NetworkClient([addr(t) for t in settings.connect])
 
 
 def _fpr_pipeline(dae_path: str):

@@ -99,11 +99,15 @@ def render_stereo(sb, settings: gecs.RenderSettings, rigs,
                   stage_cb: Optional[Callable] = None,
                   progress_cb: Optional[Callable] = None,
                   stop_flag: Optional[Callable] = None,
-                  debug_faces: bool = False):
+                  debug_faces: bool = False,
+                  client=None):
     """The stereoscopic outputMode (renderer.cpp:508-736).
 
     sb: SceneBuilder (uncommitted — billboards recommit per viewpoint);
     rigs: list of (camera_name, [12 StereoCube cameras]).
+    client: optional parallel.network.NetworkClient — faces render on
+    the distributed TCP device (the reference's network Device serves
+    every output mode); set_scene must already have been called.
     Returns list of written strip filenames.
     """
     if settings.watermark and watermark is None:
@@ -126,7 +130,7 @@ def render_stereo(sb, settings: gecs.RenderSettings, rigs,
         # re-orient camera-aligned billboards toward this viewpoint
         # (rtUpdatePrimitive + rtCommit, renderer.cpp:550-559)
         origin = np.asarray(cams[0].local2world[3])
-        if sb.has_billboards() or scene_static is None:
+        if client is None and (sb.has_billboards() or scene_static is None):
             scene_static = sb.commit(view_pos=origin,
                                      view_up=settings.cam_up)
         faces = []
@@ -147,7 +151,23 @@ def render_stereo(sb, settings: gecs.RenderSettings, rigs,
             # granularity, renderer.cpp:656-660).  Deterministic seeding
             # makes a retried face bit-identical to an untroubled one; a
             # second failure propagates to the session error history.
-            def _face(cam=cam, face_index=face_index, ci=ci):
+            def _face(cam=cam, face_index=face_index, ci=ci,
+                      origin=origin):
+                if client is not None:
+                    # distributed TCP device: each server renders its
+                    # 4-row bands; merged sums ARE the film
+                    import jax.numpy as jnp
+                    from ..film import accum as gaccum
+                    rgb_sum, weight = client.render(
+                        cam, params, size, size, settings.spp, seed=seed,
+                        pixel_filter=settings.pixel_filter,
+                        backplate=settings.backplate,
+                        view_pos=origin, view_up=tuple(settings.cam_up))
+                    if progress_cb is not None:
+                        progress_cb((ci * 12 + face_index + 1)
+                                    / total_faces)
+                    return gaccum.Film(jnp.asarray(rgb_sum),
+                                       jnp.asarray(weight))
                 film, _ = grenderer.render_frame(
                     scene_static, cam, params, size, size, settings.spp,
                     seed=seed, backplate=_bp(settings),

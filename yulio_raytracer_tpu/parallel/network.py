@@ -394,8 +394,20 @@ class RenderServer:
 
         if self.force_encoding is not None:
             msg = {**msg, 'encoding': self.force_encoding}
-        if state['scene'] is None:
-            state['scene'] = state['builder'].commit()
+        # camera-aligned billboards: stereo viewpoints recommit with the
+        # rig origin (rtUpdatePrimitive + rtCommit, renderer.cpp:550-559)
+        vp = msg.get('view_pos')
+        vkey = None if vp is None else (tuple(np.asarray(vp).tolist()),
+                                        tuple(msg.get('view_up',
+                                                      (0.0, 1.0, 0.0))))
+        if state['scene'] is None or state.get('view_key') != vkey:
+            kw = {}
+            if vp is not None:
+                kw = dict(view_pos=np.asarray(vp, np.float64),
+                          view_up=tuple(msg.get('view_up',
+                                                (0.0, 1.0, 0.0))))
+            state['scene'] = state['builder'].commit(**kw)
+            state['view_key'] = vkey
         scene = state['scene']
         camera = msg['camera']
         params = pt.PTParams(**msg['params'])
@@ -467,17 +479,23 @@ class NetworkClient:
 
     def render(self, camera, params, width, height, spp, seed=0,
                encoding: str = 'native', jpeg_quality: int = 90,
-               pixel_filter: str = 'box', backplate=None):
+               pixel_filter: str = 'box', backplate=None,
+               view_pos=None, view_up=(0.0, 1.0, 0.0)):
         """encoding: 'native' (f32 rows), 'rgbe8' (4 B/px shared-exponent,
         network_device.cpp:256-310) or 'jpeg' (lossy row bands with
-        quality 1-100, the `-encode jpeg` tier of network_server.cpp)."""
+        quality 1-100, the `-encode jpeg` tier of network_server.cpp).
+        view_pos/view_up orient camera-aligned billboards (servers
+        recommit when the viewpoint changes)."""
         msg = {'camera': camera,
                'params': {**params.__dict__}, 'width': width,
                'height': height, 'spp': spp, 'seed': seed,
                'encoding': encoding, 'jpeg_quality': jpeg_quality,
                'pixel_filter': pixel_filter,
                'backplate': (None if backplate is None
-                             else np.asarray(backplate, np.float32))}
+                             else np.asarray(backplate, np.float32)),
+               'view_pos': (None if view_pos is None
+                            else np.asarray(view_pos, np.float32)),
+               'view_up': tuple(view_up)}
         for s in self.socks:
             _send(s, OP_RENDER, msg)
         img = np.zeros((height, width, 3), np.float32)
