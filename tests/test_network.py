@@ -303,3 +303,51 @@ def test_stereo_over_tcp_matches_local(tmp_path):
     finally:
         os.chdir(old)
     np.testing.assert_array_equal(a, b)
+
+
+def test_view_pos_recommit_matches_local():
+    """Fast default-tier coverage of the v5 wire fields: a billboard
+    scene rendered over TCP with a view_pos matches the local render
+    committed at that viewpoint, and changing view_pos changes the
+    image (the server's keyed recommit)."""
+    import os
+    from yulio_raytracer_tpu.io import collada, ecs
+    from yulio_raytracer_tpu.scene import SceneBuilder
+    from yulio_raytracer_tpu.cameras import cameras as cam
+
+    dae = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'assets', 'scenes', 'test_room.dae')
+    settings = ecs.RenderSettings()
+    sb = SceneBuilder()
+    collada.load_dae(dae, settings, sb)
+    assert sb.has_billboards()
+    from yulio_raytracer_tpu.lights import lights as gl
+    sb.add_light(gl.ambient((1.0, 1.0, 1.0)))   # light any viewpoint
+
+    port = 19493
+    server = network.RenderServer(port, single_connection=True)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    # camera fixed on the billboard (authored at (2,-1,0)); only the
+    # commit viewpoint changes: face-on vs ~edge-on orientation
+    l2w = cam.look_at((6.0, -1.0, 0.0), (2.0, -1.0, 0.0), (0, 1, 0))
+    camera = cam.Pinhole(l2w, angle=60.0, aspect=1.0)
+    params = pt.PTParams(max_depth=2)
+    client = network.NetworkClient([('127.0.0.1', port)])
+    client.set_scene(sb)
+    imgs = {}
+    for vp in ((6.0, -1.0, 0.0), (2.0, -1.0, 6.0)):
+        img, w = client.render(camera, params, 16, 16, spp=1, seed=5,
+                               view_pos=vp)
+        assert (w == 1.0).all()
+        scene = sb.commit(view_pos=np.asarray(vp))
+        film, _ = renderer.render_frame(scene, camera, params, 16, 16,
+                                        spp=1, seed=5)
+        np.testing.assert_allclose(img, np.asarray(film.rgb_sum),
+                                   atol=1e-5)
+        imgs[vp] = img
+    client.close()
+    server.stop()
+    vals = list(imgs.values())
+    assert np.abs(vals[0] - vals[1]).max() > 0, \
+        "view_pos change must re-orient the billboard"

@@ -65,11 +65,7 @@ def main(argv=None):
     if len(argv) == 1 and argv[0].lower().endswith('.dae'):
         return _fpr_pipeline(argv[0])
 
-    scene_file = None
     regression_mode = '-regression' in argv
-    for i, a in enumerate(argv):
-        if a == '-i' and i + 1 < len(argv):
-            scene_file = argv[i + 1]
     ts = gecs.TokenStream.from_argv(argv)
     gecs.parse(ts, settings, sb, '.')
 
@@ -77,7 +73,8 @@ def main(argv=None):
         return _regression_loop(settings)
 
     if settings.stereo:
-        return _stereo_from_settings(settings, sb, scene_file)
+        # settings.scene_file = last -i path, argv or included .ecs alike
+        return _stereo_from_settings(settings, sb, settings.scene_file)
 
     from . import output as goutput
     if settings.connect:
@@ -232,8 +229,9 @@ def _stereo_from_settings(settings, sb, scene_file):
         # the network Device serves every output mode, stereo included
         # (renderer.cpp:948-956 device selection precedes outputMode)
         client = _make_client(settings)
-        client.set_scene(sb)
     try:
+        if client is not None:
+            client.set_scene(sb)
         written, _ = goutput.render_stereo(sb, settings, rigs, base, '.',
                                            client=client)
     finally:

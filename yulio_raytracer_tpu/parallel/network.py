@@ -41,8 +41,10 @@ from typing import Optional
 import numpy as np
 
 MAGICK = 0x32657845   # network_common.h:26
-VERSION = 4           # bump on any wire-format change
+VERSION = 5           # bump on any wire-format change
                       # v4: OP_RENDER carries pixel_filter + backplate
+                      # v5: OP_RENDER carries view_pos/view_up (stereo
+                      #     billboard recommit over the wire)
 _FRAME = struct.Struct(">IHHQI")   # magick, version, opcode, len, crc32
 
 # opcodes (the EMBREE_* command-id table, network_common.h:29-80)
@@ -395,8 +397,12 @@ class RenderServer:
         if self.force_encoding is not None:
             msg = {**msg, 'encoding': self.force_encoding}
         # camera-aligned billboards: stereo viewpoints recommit with the
-        # rig origin (rtUpdatePrimitive + rtCommit, renderer.cpp:550-559)
+        # rig origin (rtUpdatePrimitive + rtCommit, renderer.cpp:550-559).
+        # Without billboards the commit is viewpoint-independent — keep
+        # the cached scene (the local path guards with has_billboards too)
         vp = msg.get('view_pos')
+        if vp is not None and not state['builder'].has_billboards():
+            vp = None
         vkey = None if vp is None else (tuple(np.asarray(vp).tolist()),
                                         tuple(msg.get('view_up',
                                                       (0.0, 1.0, 0.0))))
