@@ -233,7 +233,8 @@ def _stereo_from_settings(settings, sb, scene_file):
         if client is not None:
             client.set_scene(sb)
         written, _ = goutput.render_stereo(sb, settings, rigs, base, '.',
-                                           client=client)
+                                           client=client,
+                                           debug_faces=settings.debug)
     finally:
         if client is not None:
             client.close()

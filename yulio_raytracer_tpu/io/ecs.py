@@ -63,6 +63,8 @@ class RenderSettings:
     backplate: Optional[np.ndarray] = None
     accumulate: int = 1              # -refine
     display: bool = False
+    # -debug: write each cube face image to disk (renderer.cpp:657-660)
+    debug: bool = False
     # -viewer [port]: interactive web viewer (glutdisplay analog) instead
     # of the headless progressive loop; 0 = off
     viewer_port: int = 0
@@ -284,7 +286,9 @@ def parse(tokens: TokenStream, settings: RenderSettings, sb: SceneBuilder,
             tokens.get()
         elif tag == '-verbose':
             settings.verbose = tokens.get_int()
-        elif tag in ('--no-logging', '-profiling', '-debug', '-fullscreen',
+        elif tag == '-debug':
+            settings.debug = True      # per-face debug JPEGs in stereo
+        elif tag in ('--no-logging', '-profiling', '-fullscreen',
                      '-regression'):
             pass
         elif tag == '-rtcore':
