@@ -288,8 +288,10 @@ def parse(tokens: TokenStream, settings: RenderSettings, sb: SceneBuilder,
             settings.verbose = tokens.get_int()
         elif tag == '-debug':
             settings.debug = True      # per-face debug JPEGs in stereo
-        elif tag in ('--no-logging', '-profiling', '-fullscreen',
-                     '-regression'):
+        elif tag == '--no-logging':
+            from ..utils import logging as glog
+            glog.log_display = False   # renderer.cpp:989-991
+        elif tag in ('-profiling', '-fullscreen', '-regression'):
             pass
         elif tag == '-rtcore':
             tokens.get()
