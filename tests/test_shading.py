@@ -1,10 +1,19 @@
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from yulio_raytracer_tpu.shading import lobes as lb
 from yulio_raytracer_tpu.shading import materials as mt
 from yulio_raytracer_tpu.shading import textures as tx
 from yulio_raytracer_tpu.core import rng
+
+# jit the kernels under test: eagerly these graphs are hundreds of
+# individually-dispatched ops (~4 s per call on the 1-core CI box); one
+# jitted call hits the persistent compile cache and runs in microseconds
+_sample_lobes = jax.jit(lb.sample_lobes,
+                        static_argnames=('type_mask', 'types_present'))
+_eval_lobes = jax.jit(lb.eval_lobes, static_argnames=('type_mask',))
+_shade_context = jax.jit(mt.shade_context)
 
 
 def _ctx(mats, mat_ids, st=None, tex_builder=None, medium_eta=None):
@@ -14,8 +23,8 @@ def _ctx(mats, mat_ids, st=None, tex_builder=None, medium_eta=None):
     st = jnp.zeros((n, 2)) if st is None else st
     me = jnp.ones((n,)) if medium_eta is None else medium_eta
     mtr = jnp.ones((n, 3))
-    return mt.shade_context(table, textable, jnp.asarray(mat_ids, jnp.int32),
-                            st, me, mtr)
+    return _shade_context(table, textable, jnp.asarray(mat_ids, jnp.int32),
+                          st, me, mtr)
 
 
 def _nswo(n):
@@ -33,7 +42,7 @@ def test_lambertian_furnace():
     pid = jnp.arange(n, dtype=jnp.uint32)
     s2 = rng.uniform2(jnp.uint32(0), pid, jnp.uint32(0), jnp.uint32(0))
     s1 = rng.uniform1(jnp.uint32(0), pid, jnp.uint32(0), jnp.uint32(1))
-    out = lb.sample_lobes(lobed, ns, ns, wo, s2, s1)
+    out = _sample_lobes(lobed, ns, ns, wo, s2, s1)
     est = np.asarray(out['weight'] / out['pdf'][..., None]).mean(axis=0)
     np.testing.assert_allclose(est, [0.7, 0.5, 0.3], atol=0.01)
     # all samples in upper hemisphere with cosine stats
@@ -51,13 +60,13 @@ def test_eval_matches_lambertian_formula():
     rs = np.random.RandomState(0)
     wi = rs.randn(n, 3)
     wi /= np.linalg.norm(wi, axis=1, keepdims=True)
-    f = np.asarray(lb.eval_lobes(lobed, ns, ns, wo, jnp.asarray(wi, jnp.float32)))
+    f = np.asarray(_eval_lobes(lobed, ns, ns, wo, jnp.asarray(wi, jnp.float32)))
     expect = 0.8 / np.pi * np.clip(wi[:, 2], 0, 1)
     np.testing.assert_allclose(f[:, 0], expect, atol=1e-5)
     # specular lobes contribute nothing to DIFFUSE eval
     lob2, _ = _ctx([mt.make_material('mirror', {'reflectance': 1.0})],
                    np.zeros(n, np.int64))
-    f2 = np.asarray(lb.eval_lobes(lob2, ns, ns, wo, jnp.asarray(wi, jnp.float32)))
+    f2 = np.asarray(_eval_lobes(lob2, ns, ns, wo, jnp.asarray(wi, jnp.float32)))
     np.testing.assert_allclose(f2, 0.0)
 
 
@@ -68,7 +77,7 @@ def test_mirror_delta_reflection():
     ns, wo = _nswo(n)
     s2 = jnp.full((n, 2), 0.5)
     s1 = jnp.full((n,), 0.5)
-    out = lb.sample_lobes(lobed, ns, ns, wo, s2, s1)
+    out = _sample_lobes(lobed, ns, ns, wo, s2, s1)
     wi = np.asarray(out['wi'])
     np.testing.assert_allclose(wi, np.tile([[-0.6, 0.0, 0.8]], (n, 1)),
                                atol=1e-6)
@@ -85,7 +94,7 @@ def test_glass_energy_split():
     pid = jnp.arange(n, dtype=jnp.uint32)
     s2 = rng.uniform2(jnp.uint32(1), pid, jnp.uint32(0), jnp.uint32(0))
     s1 = rng.uniform1(jnp.uint32(1), pid, jnp.uint32(0), jnp.uint32(1))
-    out = lb.sample_lobes(lobed, ns, ns, wo, s2, s1)
+    out = _sample_lobes(lobed, ns, ns, wo, s2, s1)
     # E[w/pdf] = F + (1-F)/eta^2: the reference's refract() reports
     # pdf = eta^2 (optics.h:57 Sample3f(..., sqr(eta))), i.e. the radiance
     # compression factor of non-symmetric transport; it cancels on exit.
@@ -166,7 +175,7 @@ def test_composited_pick_proportional_to_luminance():
     pid = jnp.arange(n, dtype=jnp.uint32)
     s2 = rng.uniform2(jnp.uint32(2), pid, jnp.uint32(0), jnp.uint32(0))
     s1 = rng.uniform1(jnp.uint32(2), pid, jnp.uint32(0), jnp.uint32(1))
-    out = lb.sample_lobes(lobed, ns, ns, wo, s2, s1)
+    out = _sample_lobes(lobed, ns, ns, wo, s2, s1)
     # minnaert with b=0 == lambertian(0.8); velvety f=0 == lambertian(0.2)
     # both cosine-sampled -> same pdf; pick ratio == 0.8 : 0.2*sinO-factor...
     # with f=0 the sinO^0 = 1, so exactly 0.8 : 0.2
@@ -222,7 +231,7 @@ def test_phong_specular_normalization():
     pid = jnp.arange(n, dtype=jnp.uint32)
     s2 = rng.uniform2(jnp.uint32(3), pid, jnp.uint32(0), jnp.uint32(0))
     s1 = rng.uniform1(jnp.uint32(3), pid, jnp.uint32(0), jnp.uint32(1))
-    out = lb.sample_lobes(lobed, ns, ns, wo, s2, s1)
+    out = _sample_lobes(lobed, ns, ns, wo, s2, s1)
     valid = np.asarray(out['valid'])
     w = np.asarray(out['weight'])[valid]
     p = np.asarray(out['pdf'])[valid]
@@ -290,7 +299,7 @@ def test_brushed_metal_anisotropy():
     pid = jnp.arange(n, dtype=jnp.uint32)
     s2 = rng.uniform2(jnp.uint32(5), pid, jnp.uint32(0), jnp.uint32(0))
     s1 = rng.uniform1(jnp.uint32(5), pid, jnp.uint32(0), jnp.uint32(1))
-    out = lb.sample_lobes(lobed, ns, ns, wo, s2, s1, tx=txv, ty=tyv)
+    out = _sample_lobes(lobed, ns, ns, wo, s2, s1, tx=txv, ty=tyv)
     wi = np.asarray(out['wi'])
     ok = np.asarray(out['valid']) & (np.asarray(out['pdf']) > 0)
     wi = wi[ok]
