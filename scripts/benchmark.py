@@ -76,8 +76,15 @@ def main():
     args = ap.parse_args()
 
     import jax
+    import numpy as _np
+    import jax.numpy as _jnp
     from yulio_raytracer_tpu.integrator import pathtracer as pt
     from yulio_raytracer_tpu import renderer
+
+    # warm the device grant + first transfer so the first row's build_s
+    # times the commit, not backend init (fetch — block_until_ready is a
+    # no-op on the tunneled backend)
+    _np.asarray(_jnp.zeros(8) + 1.0)
 
     results = []
     for scene_name in args.scenes.split(','):
