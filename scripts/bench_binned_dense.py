@@ -1,5 +1,12 @@
 """Treelet-binned dense sweeps vs sorted stack packets, realistic rays.
 
+STALE TIMING -- pre-correction diagnostic: syncs with
+`jax.block_until_ready`, a NO-OP on the tunneled axon backend
+(README "Measurement correction"), so ms/Mrps columns report
+dispatch, not execution.  Kept for the ray-population/kernel
+construction; for trustworthy numbers use
+scripts/bench_incoherent.py (fetch-synced, input-varied).
+
 Generates bounce-1/bounce-2 diffuse rays and shadow batches on the 92k-tri
 colonnade (the incoherent regime that caps the full render) and times:
   - intersect_packet_sorted   (current default)

@@ -1,5 +1,12 @@
 """Raw pair-test throughput of the dense Pallas intersector on TPU.
 
+STALE TIMING -- pre-correction diagnostic: syncs with
+`jax.block_until_ready`, a NO-OP on the tunneled axon backend
+(README "Measurement correction"), so ms/Mrps columns report
+dispatch, not execution.  Kept for the ray-population/kernel
+construction; for trustworthy numbers use
+scripts/bench_incoherent.py (fetch-synced, input-varied).
+
 Decides the treelet-binned-dense design: if the VPU dense kernel sustains
 ~100G+ (ray,tri) pairs/s, then incoherent bounce rays are faster served
 by a per-treelet DENSE sweep (zero traversal divergence) than by the

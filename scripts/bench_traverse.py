@@ -1,5 +1,12 @@
 """Traversal micro-benchmark on the large (colonnade) scene.
 
+STALE TIMING -- pre-correction diagnostic: syncs with
+`jax.block_until_ready`, a NO-OP on the tunneled axon backend
+(README "Measurement correction"), so ms/Mrps columns report
+dispatch, not execution.  Kept for the ray-population/kernel
+construction; for trustworthy numbers use
+scripts/bench_incoherent.py (fetch-synced, input-varied).
+
 Measures the Pallas packet kernels in isolation (closest-hit and any-hit)
 plus the full render step, on whatever backend is live.  Use on the real
 TPU to track the north-star regime (BASELINE.md: Sponza 1024x1024, 64 spp).

@@ -1,5 +1,12 @@
 """Profile the grid path's round internals on TPU.
 
+STALE TIMING -- pre-correction diagnostic: syncs with
+`jax.block_until_ready`, a NO-OP on the tunneled axon backend
+(README "Measurement correction"), so ms/Mrps columns report
+dispatch, not execution.  Kept for the ray-population/kernel
+construction; for trustworthy numbers use
+scripts/bench_incoherent.py (fetch-synced, input-varied).
+
 Times each piece of a DDA round in isolation (layout, ranges, sweep,
 gathers, DDA step) and tracks per-round live/remaining counts, to find
 where the ~40 ms/round and the ~200 ms fallback actually go.

@@ -1,5 +1,12 @@
 """Phase-level profile of the north-star render regime (colonnade 1024^2).
 
+STALE TIMING — round-2 diagnostic, kept for the phase/ray-population
+construction.  It syncs with `jax.block_until_ready`, which is a NO-OP
+on the tunneled axon backend (see README "Measurement correction"), so
+its ms/Mrps columns report DISPATCH time, not execution.  For
+trustworthy phase timings use `scripts/bench_incoherent.py`
+(fetch-based syncs, input-varied iterations, in-jit amortization).
+
 Times each ray phase of a depth-4 path-traced frame IN ISOLATION with
 realistic ray populations (real first-hit geometry, cosine-scattered
 bounce rays, real light-sample shadow rays), so the frame budget can be

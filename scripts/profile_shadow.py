@@ -1,5 +1,12 @@
 """Shadow-key + leaf-size measurements on realistic bounce-1 rays.
 
+STALE TIMING -- pre-correction diagnostic: syncs with
+`jax.block_until_ready`, a NO-OP on the tunneled axon backend
+(README "Measurement correction"), so ms/Mrps columns report
+dispatch, not execution.  Kept for the ray-population/kernel
+construction; for trustworthy numbers use
+scripts/bench_incoherent.py (fetch-synced, input-varied).
+
 Usage: python scripts/profile_shadow.py [--res 1024] [--leaf 32]
        [--leaf-sweep 16]
 """

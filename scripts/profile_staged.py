@@ -1,5 +1,12 @@
 """Staged-t traversal A/B on realistic bounce/shadow rays (colonnade).
 
+STALE TIMING -- pre-correction diagnostic: syncs with
+`jax.block_until_ready`, a NO-OP on the tunneled axon backend
+(README "Measurement correction"), so ms/Mrps columns report
+dispatch, not execution.  Kept for the ray-population/kernel
+construction; for trustworthy numbers use
+scripts/bench_incoherent.py (fetch-synced, input-varied).
+
 Compares plain-sorted vs staged-t for bounce-1/2 closest and bounce-1
 shadow any-hit, over a few stage schedules.
 
