@@ -172,3 +172,42 @@ def test_watermark_png_resource_pipeline():
     assert wm.dtype == np.float32
     assert float(wm[..., 3].max()) > 0.2      # has visible alpha
     assert float(wm[..., 3].min()) == 0.0     # and transparency
+
+
+def test_debug_faces_written_with_reference_naming(tmp_path):
+    """-debug writes every cube-face JPEG alongside the strip
+    (renderer.cpp:657-660), using the reference per-face naming
+    `<scene>_<camera>_<face>_image_<eye>.jpg` (renderer.cpp:587-620)."""
+    from yulio_raytracer_tpu.api import output as goutput
+
+    settings = ecs.RenderSettings(stereo=True, width=8, height=8,
+                                  depth=2, spp=2, gamma=1.0)
+    sb = SceneBuilder()
+    result = collada.load_dae(DAE, settings, sb)
+    rigs = collada.make_stereo_cameras(result)
+    written, _ = goutput.render_stereo(sb, settings, rigs, 'dbg',
+                                       str(tmp_path), debug_faces=True)
+    assert len(written) == 1
+    cam_name = rigs[0][0]
+    for fi in range(12):
+        fn = stereo_strip.face_filename('dbg', cam_name, fi)
+        assert os.path.exists(os.path.join(str(tmp_path), fn)), fn
+
+
+def test_debug_and_no_logging_flags_parse():
+    """`-debug` sets the per-face toggle; `--no-logging` clears the
+    console log toggle (renderer.cpp:989-991) rather than no-op'ing."""
+    from yulio_raytracer_tpu.utils import logging as glog
+
+    settings = ecs.RenderSettings()
+    sb = SceneBuilder()
+    ecs.parse(ecs.TokenStream.from_argv(['-debug']), settings, sb)
+    assert settings.debug
+
+    assert glog.log_display
+    try:
+        ecs.parse(ecs.TokenStream.from_argv(['--no-logging']),
+                  settings, sb)
+        assert not glog.log_display
+    finally:
+        glog.log_display = True
