@@ -183,7 +183,10 @@ def bench_colonnade_traversal():
         t0 = time.perf_counter()
         np.asarray(loop(jnp.float32((i + 1) * 1e-5)).ravel()[:1])
         times.append(time.perf_counter() - t0)
-    return "colonnade_traversal_mrps", FrameStats(K * n, min(times))
+    # key carries the "amortized" semantics (ADVICE r3): K in-jit
+    # input-varied passes per fetch, min-of-3 — NOT comparable to the
+    # pre-r3 per-call `colonnade_traversal_mrps` numbers
+    return "colonnade_traversal_amortized_mrps", FrameStats(K * n, min(times))
 
 
 def bench_stereo_face():
