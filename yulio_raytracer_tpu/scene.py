@@ -103,10 +103,18 @@ class SceneBuilder:
 
     def commit(self, force_bvh: Optional[bool] = None,
                leaf_size: int = 64, view_pos=None,
-               view_up=(0.0, 1.0, 0.0)) -> "TpuScene":
+               view_up=(0.0, 1.0, 0.0),
+               quality: str = 'high') -> "TpuScene":
         """Commit the staged scene. When camera-aligned billboards exist,
         view_pos orients them toward that camera origin (the per-view
-        rtUpdatePrimitive + rtCommit of renderer.cpp:550-559)."""
+        rtUpdatePrimitive + rtCommit of renderer.cpp:550-559).
+
+        quality='high' builds the BVH with spatial splits (SBVH) — the
+        reference's every commit uses RTC_SCENE_HIGH_QUALITY
+        (scene_flat.h:90-96), which enables exactly this in Embree.
+        quality='normal' is the plain object-split binned-SAH build
+        (also the automatic fallback for motion scenes and when the
+        native builder is unavailable)."""
         from .utils import hostmem
         hostmem.tune_malloc()   # commit's big temporaries reuse the arena
         meshes = []
@@ -147,8 +155,10 @@ class SceneBuilder:
                    and 2 * ((n_tris + leaf_size - 1) // leaf_size) - 1
                        > MAX_SMEM_NODES):
                 leaf_size = min(leaf_size * 2, 512)
+            spatial = quality == 'high' and not has_motion
             tree = gbvh.build(packed.v0, packed.e1, packed.e2, packed.valid,
-                              leaf_size=leaf_size, bounds=mb_bounds)
+                              leaf_size=leaf_size, bounds=mb_bounds,
+                              spatial=spatial)
             # the packet kernel keeps the flat BVH in SMEM (1 MB): grow
             # leaves until the node table fits (big scenes stream their
             # triangles from HBM anyway, so fat leaves cost little)
@@ -159,7 +169,7 @@ class SceneBuilder:
                 leaf_size = min(leaf_size * 2, 512)
                 tree = gbvh.build(packed.v0, packed.e1, packed.e2,
                                   packed.valid, leaf_size=leaf_size,
-                                  bounds=mb_bounds)
+                                  bounds=mb_bounds, spatial=spatial)
             host = gbvh.permute_geom(host, tree.order)
             bvh_dev = gbvh.to_device(tree)
         host['woop'] = gmesh.woop_matrices(host['v0'], host['e1'],
