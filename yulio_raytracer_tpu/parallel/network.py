@@ -393,6 +393,7 @@ class RenderServer:
     def _render(self, state, msg, server_id, server_count):
         from ..integrator import pathtracer as pt
         from .. import renderer as grenderer
+        from ..sampling import patterns
 
         if self.force_encoding is not None:
             msg = {**msg, 'encoding': self.force_encoding}
@@ -432,7 +433,8 @@ class RenderServer:
                 hi = min(lo + chunk, len(pix))
                 ids = np.resize(pix[lo:hi].astype(np.uint32), chunk)
                 out, _ = grenderer._render_chunk(
-                    scene, camera, params, w, h, spp,
+                    scene, camera, params, w, h,
+                    patterns.grid_scalars(spp),
                     jnp.asarray(ids),
                     jnp.full((chunk,), np.uint32(s)),
                     np.uint32(msg.get('seed', 0)), bp,

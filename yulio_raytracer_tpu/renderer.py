@@ -108,19 +108,25 @@ def _chunk_body(scene, camera, params, width, height, spp,
     return rgb_sum, nrays
 
 
-@partial(jax.jit, static_argnames=('params', 'spp', 'width', 'height',
+@partial(jax.jit, static_argnames=('params', 'width', 'height',
                                    'spp_per_pass', 'pixel_filter'))
 def _render_chunk(scene, camera, params, width, height, spp,
                   pixel_ids, sample0, seed, backplate=None,
                   spp_per_pass: int = 1, pixel_filter: str = 'box',
                   samples=None):
-    """One jitted single-device pass over _chunk_body."""
+    """One jitted single-device pass over _chunk_body.
+
+    spp is TRACED — pass patterns.grid_scalars(spp) (a 4-scalar
+    stratification grid), so one compiled graph serves an spp sweep
+    (PARITY 'dynamic spp' item): the sampler consumes only the grid
+    scalars, and they're f32-rounded on the host exactly like the old
+    static path's constants, so results are bit-identical per spp."""
     return _chunk_body(scene, camera, params, width, height, spp,
                        pixel_ids, sample0, seed, backplate,
                        spp_per_pass, pixel_filter, samples)
 
 
-@partial(jax.jit, static_argnames=('params', 'spp', 'width', 'height',
+@partial(jax.jit, static_argnames=('params', 'width', 'height',
                                    'spp_per_pass', 'pixel_filter', 'mesh'))
 def _render_chunk_sharded(scene, camera, params, width, height, spp,
                           pixel_ids, sample0, seed, backplate=None,
@@ -139,20 +145,20 @@ def _render_chunk_sharded(scene, camera, params, width, height, spp,
     1 ulp on CPU)."""
     from jax.sharding import PartitionSpec as P
 
-    def shard_fn(scene_l, camera_l, pid, s0, bp, seed_l, samples_l):
+    def shard_fn(scene_l, camera_l, spp_l, pid, s0, bp, seed_l, samples_l):
         rgb, nrays = _chunk_body(scene_l, camera_l, params, width, height,
-                                 spp, pid, s0, seed_l, bp,
+                                 spp_l, pid, s0, seed_l, bp,
                                  spp_per_pass, pixel_filter, samples_l)
         return rgb, jax.lax.psum(nrays, 'px')
 
     repl = lambda tree: jax.tree.map(lambda _: P(), tree)
     rgb, nrays = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(repl(scene), repl(camera), P('px'), P('px'),
+        in_specs=(repl(scene), repl(camera), repl(spp), P('px'), P('px'),
                   repl(backplate), P(), repl(samples)),
         out_specs=(P('px'), P()),
         check_vma=False,
-    )(scene, camera, pixel_ids, sample0, backplate, jnp.uint32(seed),
+    )(scene, camera, spp, pixel_ids, sample0, backplate, jnp.uint32(seed),
       samples)
     return rgb, nrays
 
@@ -298,12 +304,23 @@ def render_frame(scene, camera, params, width: int, height: int, spp: int,
     samples_per_batch = 1
     if (scene.bvh is not None and n_splits == 1 and spp > 1
             and pix_per_pass == npix):
-        samples_per_batch = max(1, min(spp, max_rays_per_pass // npix))
+        # fold cap 16: at production sizes the ray budget already binds
+        # at <= 16 (1024^2 depth 4 -> 4), so the constant only quantizes
+        # SMALL frames — bounding an spp sweep's distinct batch shapes at
+        # {1,2,4,8,16} instead of one per spp (dynamic-spp contract)
+        samples_per_batch = max(1, min(spp, max_rays_per_pass // npix, 16))
+        # quantize to a power of two that divides spp: an spp sweep then
+        # reuses at most log2(cap) compiled shapes instead of one per spp
+        samples_per_batch = 1 << (samples_per_batch.bit_length() - 1)
         while spp % samples_per_batch:
-            samples_per_batch -= 1
+            samples_per_batch >>= 1
     # spp folding costs no extra memory (the scan reuses one sample's
     # buffers), it only amortizes dispatch overhead
     spp_per_pass = max(min(spp, spp_per_pass_cap), 1)
+    # the compiled chunk is spp-independent (grid scalars traced through
+    # the jit boundary); graph count is bounded by the distinct
+    # (spp_per_pass, shapes) pairs, not by the spp values swept
+    spp_grid = patterns.grid_scalars(spp)
     n_spp_chunks = (spp + spp_per_pass * samples_per_batch - 1) \
         // (spp_per_pass * samples_per_batch)
     work = [(c, k) for c in range(n_spp_chunks) for k in range(n_splits)]
@@ -337,12 +354,12 @@ def render_frame(scene, camera, params, width: int, height: int, spp: int,
                                np.uint32(iteration * spp + s0))
         if mesh is not None:
             rgb, nrays = _render_chunk_sharded(
-                scene, camera, params, width, height, spp, pixel_ids,
+                scene, camera, params, width, height, spp_grid, pixel_ids,
                 sample0, np.uint32(seed), backplate, spp_per_pass=nsamp,
                 pixel_filter=pixel_filter, mesh=mesh, samples=samples)
         else:
             rgb, nrays = _render_chunk(scene, camera, params, width,
-                                       height, spp, pixel_ids, sample0,
+                                       height, spp_grid, pixel_ids, sample0,
                                        np.uint32(seed), backplate,
                                        spp_per_pass=nsamp,
                                        pixel_filter=pixel_filter,

@@ -26,21 +26,41 @@ def grid_dims(spp: int) -> tuple[int, int]:
     return a, spp // a
 
 
-def pixel_sample(seed, pixel_id, sample_id, spp: int, dim: int = 0):
+def grid_scalars(spp: int):
+    """The stratification grid of `spp` as four numpy scalars
+    (a, n, 1/a, 1/b), suitable for passing TRACED through a jit
+    boundary: the factorization itself is host-side (data-dependent
+    loop), but the compiled pattern only consumes these scalars, so one
+    compiled render graph serves every spp.  The reciprocals are
+    f32-rounded on the host exactly like the static path's Python-float
+    constants — the two paths are bit-identical."""
+    a, b = grid_dims(spp)
+    return (np.uint32(a), np.uint32(a * b),
+            np.float32(1.0 / a), np.float32(1.0 / b))
+
+
+def pixel_sample(seed, pixel_id, sample_id, spp, dim: int = 0):
     """Jittered-stratified 2D sample in [0,1)^2 for pixel-position dims.
 
-    pixel_id/sample_id: broadcastable int arrays. spp is static.
+    pixel_id/sample_id: broadcastable int arrays.  spp: either a static
+    int, or a traced grid_scalars() tuple (spp-independent graph).
     """
-    a, b = grid_dims(spp)
-    n = a * b
+    if isinstance(spp, tuple):
+        a, n, inv_a, inv_b = spp
+    else:
+        ai, bi = grid_dims(spp)
+        a, n = ai, ai * bi
+        inv_a, inv_b = np.float32(1.0 / ai), np.float32(1.0 / bi)
+    a_u = jnp.asarray(a, jnp.uint32)
+    n_u = jnp.asarray(n, jnp.uint32)
     # per-pixel decorrelation of stratum order
     scramble = rng.hash_u32(pixel_id, jnp.uint32(dim), seed, jnp.uint32(0x9E3779B9))
-    s = (jnp.asarray(sample_id).astype(jnp.uint32) + scramble) % jnp.uint32(n)
-    sx = (s % jnp.uint32(a)).astype(jnp.float32)
-    sy = (s // jnp.uint32(a)).astype(jnp.float32)
+    s = (jnp.asarray(sample_id).astype(jnp.uint32) + scramble) % n_u
+    sx = (s % a_u).astype(jnp.float32)
+    sy = (s // a_u).astype(jnp.float32)
     jitter = rng.uniform2(seed, pixel_id, sample_id, jnp.uint32(dim))
-    u = (sx + jitter[..., 0]) * (1.0 / a)
-    v = (sy + jitter[..., 1]) * (1.0 / b)
+    u = (sx + jitter[..., 0]) * inv_a
+    v = (sy + jitter[..., 1]) * inv_b
     return jnp.stack([u, v], axis=-1)
 
 
