@@ -158,13 +158,22 @@ def main():
     for name, (thunk, depth, spp) in variants().items():
         img = render(thunk, depth, spp)
         cpu = np.load(os.path.join(OUT, '%s_cpu.npz' % name))['img']
+        np.savez(os.path.join(OUT, '%s_tpu.npz' % name), img=img)
         p = psnr(img, cpu)
         err = ((img - cpu) ** 2).mean(axis=-1).ravel()
         top = np.sort(err)[::-1]
         k = max(1, len(err) // 100)
         conc = float(top[:k].sum() / max(err.sum(), 1e-30))
-        print("tpu %-7s PSNR %6.2f dB   top-1%%-pixel MSE share %5.1f%%"
-              % (name, p, 100 * conc), flush=True)
+        # trimmed PSNR: drop the top-1% divergent pixels.  If the rest
+        # agrees at sibling-gate levels, the outlier is chaotic path
+        # flips at discrete decision boundaries (silhouette tangencies,
+        # reflect/refract lobe picks), not kernel numerics.
+        mse_trim = float(np.sort(err)[:len(err) - k].mean())
+        p_trim = 10.0 * np.log10(max(float(cpu.max()), 1e-9) ** 2
+                                 / max(mse_trim, 1e-20))
+        print("tpu %-7s PSNR %6.2f dB   top-1%%-share %5.1f%%   "
+              "trimmed-1%% PSNR %6.2f dB"
+              % (name, p, 100 * conc, p_trim), flush=True)
 
 
 if __name__ == '__main__':

@@ -186,7 +186,7 @@ def test_sbvh_gather_tree_compiled():
     duplicates of one source triangle — their t ties)."""
     from yulio_raytracer_tpu.io import builtin_scenes
     sb = builtin_scenes.colonnade(cols_x=3, cols_z=2, tess=(8, 10))
-    scene = sb.commit(quality='high')
+    scene = sb.commit(quality='high-spatial')
     rs = np.random.RandomState(4)
     R = ppt.BLOCK
     org = jnp.asarray(rs.randn(R, 3).astype(np.float32) * 4

@@ -223,8 +223,26 @@ def build(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
           valid: np.ndarray | None = None,
           leaf_size: int = 64, nbins: int = 16,
           use_native: bool = True, bounds=None,
-          spatial: bool = False) -> FlatBVH:
+          quality: str = 'normal') -> FlatBVH:
     """Build a flattened skip-pointer BVH over triangles (v0, v0+e1, v0+e2).
+
+    quality levels (the RTC_SCENE_HIGH_QUALITY analog, scene_flat.h:93):
+      'normal'       object-split binned SAH.
+      'high'         object-split + row-aligned leaf packing — the
+                     measured-best tree for the TPU packet kernel.  The
+                     round-4 on-chip A/B (colonnade + sponza, leaf 32)
+                     found spatial splits LOSE on packet traversal
+                     (colonnade full render 4.57 vs 4.19 Mrps; sponza
+                     3.40 vs 3.38): duplicated refs inflate packed tri
+                     rows while the 1024-ray packet union erases the
+                     overlap win that makes SBVH pay on per-ray CPU
+                     traversal.  Row-quantized leaf termination
+                     (c_trav) was also measured: +1% closest, -15%
+                     any-hit — not worth 3.5x the node table.
+      'high-spatial' SBVH spatial splits + aligned packing (Embree's
+                     actual high-quality mechanism, kept for parity and
+                     for scenes whose overlap pathology outweighs the
+                     row inflation).
 
     Invalid (padding/degenerate) triangles are packed into the final leaf's
     tail positions with empty bounds so they are never hit.  `bounds`
@@ -236,8 +254,9 @@ def build(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
     if valid is None:
         valid = np.ones(t, bool)
     if use_native and bounds is None:
-        if spatial:
-            nat = build_native_sbvh(v0, e1, e2, valid, leaf_size, nbins)
+        if quality in ('high', 'high-spatial'):
+            nat = build_native_sbvh(v0, e1, e2, valid, leaf_size, nbins,
+                                    spatial=quality == 'high-spatial')
             if nat is not None:
                 return nat
             # no native lib: fall through to the numpy object-split build

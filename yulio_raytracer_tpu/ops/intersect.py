@@ -31,6 +31,17 @@ import numpy as np
 # backend at import time, breaking jax.distributed.initialize ordering)
 INF = np.float32(np.inf)
 
+# Watertightness policy (RTC_SCENE_ROBUST parity, scene_flat.h:94): the
+# barycentric accept test is inclusive by 32 f32-ulps-at-1.0 — the same
+# 32-ulp convention the reference uses for ray-offset epsilons
+# (pathtraceintegrator.cpp:32).  Rays aimed exactly along a shared edge /
+# through a shared vertex can land epsilon-outside BOTH incident
+# triangles in f32 (each triangle's test runs different arithmetic); the
+# slop guarantees at least one accepts.  Cost: silhouettes fatten by
+# ~4e-6 barycentric units (invisible), shared-edge rays may hit both
+# triangles (closest-t picks one).  Validated by tests/test_watertight.py.
+BARY_EPS = float(32 * np.finfo(np.float32).eps)  # 3.8e-6
+
 
 class Hit(NamedTuple):
     """Closest-hit record for a ray batch (all (R,) arrays)."""
@@ -78,7 +89,7 @@ def _mt_block(v0, e1, e2, cull, tri_valid, org, dirn, tnear, tfar,
     t = jnp.sum(e2b * qvec, axis=-1) * inv_det
 
     ok = ((jnp.abs(det) > 1e-12)
-          & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+          & (u >= -BARY_EPS) & (v >= -BARY_EPS) & (u + v <= 1.0 + BARY_EPS)
           & (t > tnear[:, None]) & (t < tfar[:, None])
           & cull_ok & tri_valid[None, :])
     return t, u, v, ok
@@ -201,7 +212,7 @@ def _woop_block(w4, ng, cull, tri_valid, org, dirn, tnear, tfar):
                           precision=jax.lax.Precision.HIGHEST)
     cull_ok = jnp.where(cull[None, :] == 1, ng_dot_d < 0.0, True)
     ok = ((jnp.abs(dz) > 1e-12)
-          & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+          & (u >= -BARY_EPS) & (v >= -BARY_EPS) & (u + v <= 1.0 + BARY_EPS)
           & (t > tnear[:, None]) & (t < tfar[:, None])
           & cull_ok & tri_valid[None, :])
     return t, u, v, ok

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .intersect import Hit
+from .intersect import Hit, BARY_EPS
 
 BLOCK = 1024
 INF = float(np.inf)
@@ -43,7 +43,7 @@ def _tri8(w, k, ox, oy, oz, dx, dy, dz, tnear, tfar, t_b, tri_b, u_b, v_b,
     ngd = dx * s[12] + dy * s[13] + dz * s[14]
     cull_ok = (s[15] != 1.0) | (ngd < 0.0)
     ok = ((jnp.abs(dwp) > 1e-12)
-          & (uh >= 0.0) & (vh >= 0.0) & (uh + vh <= 1.0)
+          & (uh >= -BARY_EPS) & (vh >= -BARY_EPS) & (uh + vh <= 1.0 + BARY_EPS)
           & (th > tnear) & (th < jnp.minimum(tfar, t_b))
           & cull_ok)
     return (jnp.where(ok, th, t_b), jnp.where(ok, tri_index, tri_b),
@@ -144,7 +144,7 @@ def _kernel_occ(tris_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             ngd = dx * s[12] + dy * s[13] + dz * s[14]
             cull_ok = (s[15] != 1.0) | (ngd < 0.0)
             hit = ((jnp.abs(dwp) > 1e-12)
-                   & (uh >= 0.0) & (vh >= 0.0) & (uh + vh <= 1.0)
+                   & (uh >= -BARY_EPS) & (vh >= -BARY_EPS) & (uh + vh <= 1.0 + BARY_EPS)
                    & (th > tnear) & (th < tfar) & cull_ok)
             occ = jnp.maximum(occ, hit.astype(jnp.int32))
         return occ

@@ -42,7 +42,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .intersect import Hit
+from .intersect import Hit, BARY_EPS
 
 RB = 8            # rays per tile (sublane dim)
 TL = 128          # tris per tile (lane dim)
@@ -91,7 +91,7 @@ def _pair_tile(p, ox, oy, oz, dx, dy, dz, tn, tf, use_cull: bool):
     th = -owp * inv_dw
     uh = oup + th * dup
     vh = ovp + th * dvp
-    ok = (live & (uh >= 0.0) & (vh >= 0.0) & (uh + vh <= 1.0)
+    ok = (live & (uh >= -BARY_EPS) & (vh >= -BARY_EPS) & (uh + vh <= 1.0 + BARY_EPS)
           & (th > tn) & (th < tf))
     if use_cull:
         ngd = dx * p[12] + dy * p[13] + dz * p[14]

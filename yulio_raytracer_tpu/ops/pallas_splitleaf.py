@@ -62,7 +62,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .intersect import Hit
+from .intersect import Hit, BARY_EPS
 
 BLOCK = 1024          # rays per packet (8 sub-blocks x 128 lanes)
 NSUB = 8              # sub-blocks (sublane dim)
@@ -125,7 +125,7 @@ def _flush(tris_ref, list_ref, cnt_ref, sentinel_row,
             uh = oup + th * dup
             vh = ovp + th * dvp
             ok = ((jnp.abs(dwp) > 1e-12)
-                  & (uh >= 0.0) & (vh >= 0.0) & (uh + vh <= 1.0)
+                  & (uh >= -BARY_EPS) & (vh >= -BARY_EPS) & (uh + vh <= 1.0 + BARY_EPS)
                   & (th > tnear) & (th < t_b))
             if use_cull:
                 ngd = dx * c(m, 12) + dy * c(m, 13) + dz * c(m, 14)

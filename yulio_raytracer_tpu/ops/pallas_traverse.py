@@ -49,7 +49,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .intersect import Hit
+from .intersect import Hit, BARY_EPS
 
 BLOCK = 1024          # rays per packet (8 x 128 VPU tile)
 STACK = 128
@@ -316,7 +316,7 @@ def _kernel(nodes_ref, tris_ref,
                     uh = oup + th * dup
                     vh = ovp + th * dvp
                     ok = ((jnp.abs(dwp) > 1e-12)
-                          & (uh >= 0.0) & (vh >= 0.0) & (uh + vh <= 1.0)
+                          & (uh >= -BARY_EPS) & (vh >= -BARY_EPS) & (uh + vh <= 1.0 + BARY_EPS)
                           & (th > tnear) & (th < t_b))
                     if use_cull:
                         # scalar-predicate boolean select doesn't legalize
@@ -425,12 +425,15 @@ def _kernel(nodes_ref, tris_ref,
     out = jax.lax.while_loop(cond, body, init)
     t_best, tri_best, u_best, v_best = out[1], out[2], out[3], out[4]
     if counts_out is not None:
+        # flat 1-D SMEM layout: a 2-D (P, 4) SMEM output pads the minor
+        # dim to 128 lanes (128 B/element — 512 KB for 16 KB of data),
+        # which OOMs smem on scenes whose node table is already large
         cnt = out[6]
         pid = pl.program_id(0)
-        counts_out[pid, 0] = cnt[0]
-        counts_out[pid, 1] = cnt[1]
-        counts_out[pid, 2] = cnt[2]
-        counts_out[pid, 3] = cnt[3]
+        counts_out[4 * pid + 0] = cnt[0]
+        counts_out[4 * pid + 1] = cnt[1]
+        counts_out[4 * pid + 2] = cnt[2]
+        counts_out[4 * pid + 3] = cnt[3]
     # report INF for misses (round-1 kernel contract; tests key on it)
     t_out[:] = jnp.where(tri_best >= 0, t_best, INF)
     tri_out[:] = tri_best
@@ -489,9 +492,10 @@ def intersect_packet(nodes, tris, org, dirn, tnear, tfar, roots=None,
     ]
     if debug_counts:
         # whole-array SMEM output, indexed by program id in the kernel
-        # (blocked SMEM outputs must tile to (8, 128), which (1, 4) isn't)
+        # (blocked SMEM outputs must tile to (8, 128), which (1, 4) isn't);
+        # kept FLAT — 2-D SMEM pads the minor dim to 128 lanes (OOM)
         out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-        out_shape.append(jax.ShapeDtypeStruct((r // BLOCK, 4), jnp.int32))
+        out_shape.append(jax.ShapeDtypeStruct((r // BLOCK * 4,), jnp.int32))
 
     _k = partial(_kernel, max_leaf=max_leaf, hbm=hbm,
                  use_cull=use_cull, ordered=ordered)
@@ -522,7 +526,7 @@ def intersect_packet(nodes, tris, org, dirn, tnear, tfar, roots=None,
     )(*args)
     t, tri, u, v = outs[:4]
     if debug_counts:
-        return Hit(t, tri, u, v), outs[4]
+        return Hit(t, tri, u, v), outs[4].reshape(-1, 4)
     return Hit(t, tri, u, v)
 
 
@@ -718,7 +722,7 @@ def _kernel_any(nodes_ref, tris_ref,
                 uh = oup + th * dup
                 vh = ovp + th * dvp
                 hit = ((jnp.abs(dwp) > 1e-12)
-                       & (uh >= 0.0) & (vh >= 0.0) & (uh + vh <= 1.0)
+                       & (uh >= -BARY_EPS) & (vh >= -BARY_EPS) & (uh + vh <= 1.0 + BARY_EPS)
                        & (th > tnear) & (th < tfar))
                 if use_cull:
                     ngd = dx * w[12] + dy * w[13] + dz * w[14]
@@ -1398,7 +1402,7 @@ def _mb_tri_test(w, time, ox, oy, oz, dx, dy, dz):
     vh = (dx * qx + dy * qy + dz * qz) * inv_det
     th = (e2x * qx + e2y * qy + e2z * qz) * inv_det
     ok = ((jnp.abs(det) > 1e-12)
-          & (uh >= 0.0) & (vh >= 0.0) & (uh + vh <= 1.0)
+          & (uh >= -BARY_EPS) & (vh >= -BARY_EPS) & (uh + vh <= 1.0 + BARY_EPS)
           & cull_ok)
     return ok, th, uh, vh
 

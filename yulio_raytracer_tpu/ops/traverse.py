@@ -20,7 +20,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .intersect import Hit, INF
+from .intersect import Hit, INF, BARY_EPS
 
 
 def _slab_test(lo, hi, org, inv_dir, tnear, tfar):
@@ -59,7 +59,7 @@ def _mt_leaf(v0, e1, e2, cull, tri_valid, org, dirn, tnear, tfar):
     v = jnp.sum(d * qvec, axis=-1) * inv_det
     t = jnp.sum(e2 * qvec, axis=-1) * inv_det
     ok = ((jnp.abs(det) > 1e-12)
-          & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+          & (u >= -BARY_EPS) & (v >= -BARY_EPS) & (u + v <= 1.0 + BARY_EPS)
           & (t > tnear[:, None]) & (t < tfar[:, None])
           & cull_ok & tri_valid)
     return t, u, v, ok

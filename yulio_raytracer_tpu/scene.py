@@ -109,12 +109,16 @@ class SceneBuilder:
         view_pos orients them toward that camera origin (the per-view
         rtUpdatePrimitive + rtCommit of renderer.cpp:550-559).
 
-        quality='high' builds the BVH with spatial splits (SBVH) — the
-        reference's every commit uses RTC_SCENE_HIGH_QUALITY
-        (scene_flat.h:90-96), which enables exactly this in Embree.
-        quality='normal' is the plain object-split binned-SAH build
-        (also the automatic fallback for motion scenes and when the
-        native builder is unavailable)."""
+        quality='high' builds the measured-best high-quality tree for
+        the TPU packet kernel (row-aligned leaf packing; see
+        geometry/bvh.py::build for the round-4 A/B) — the role
+        RTC_SCENE_HIGH_QUALITY plays in the reference's every commit
+        (scene_flat.h:90-96).  quality='high-spatial' additionally
+        enables SBVH spatial splits (Embree's actual high-quality
+        mechanism; measured slower here).  quality='normal' is the
+        plain object-split binned-SAH build (also the automatic
+        fallback for motion scenes and when the native builder is
+        unavailable)."""
         from .utils import hostmem
         hostmem.tune_malloc()   # commit's big temporaries reuse the arena
         meshes = []
@@ -155,10 +159,10 @@ class SceneBuilder:
                    and 2 * ((n_tris + leaf_size - 1) // leaf_size) - 1
                        > MAX_SMEM_NODES):
                 leaf_size = min(leaf_size * 2, 512)
-            spatial = quality == 'high' and not has_motion
+            bq = quality if not has_motion else 'normal'
             tree = gbvh.build(packed.v0, packed.e1, packed.e2, packed.valid,
                               leaf_size=leaf_size, bounds=mb_bounds,
-                              spatial=spatial)
+                              quality=bq)
             # the packet kernel keeps the flat BVH in SMEM (1 MB): grow
             # leaves until the node table fits (big scenes stream their
             # triangles from HBM anyway, so fat leaves cost little)
@@ -169,7 +173,7 @@ class SceneBuilder:
                 leaf_size = min(leaf_size * 2, 512)
                 tree = gbvh.build(packed.v0, packed.e1, packed.e2,
                                   packed.valid, leaf_size=leaf_size,
-                                  bounds=mb_bounds, spatial=spatial)
+                                  bounds=mb_bounds, quality=bq)
             host = gbvh.permute_geom(host, tree.order)
             bvh_dev = gbvh.to_device(tree)
         host['woop'] = gmesh.woop_matrices(host['v0'], host['e1'],
