@@ -546,3 +546,34 @@ def test_splitleaf_matches_packet():
                                              max_leaf=8, interpret=True)
     np.testing.assert_array_equal(np.asarray(ref.tri),
                                   np.asarray(gots.tri))
+
+
+def test_wide_bvh4_matches_binary():
+    """The BVH4 kernel (ops/pallas_wide.py) is an encoding change of the
+    same tree: hits must match the binary packet kernel exactly."""
+    from yulio_raytracer_tpu.ops import pallas_wide as pw
+    nodes, tris, geom, tree = _build([
+        primitives.tessellate_sphere([0, 0, 0], 1.0, 12, 16),
+        primitives.quad([-5, -1.2, -5], [5, -1.2, -5], [5, -1.2, 5],
+                        [-5, -1.2, 5]),
+        primitives.single_triangle([2, 0, 0], [3, 0, 0], [2, 1, 0],
+                                   cull=mesh.CULL_BACK),
+    ])
+    nodes4 = jnp.asarray(pw.pack_nodes4(tree))
+    rs = np.random.RandomState(5)
+    R = ppt.BLOCK
+    org = jnp.asarray(rs.randn(R, 3).astype(np.float32) * 3)
+    d = rs.randn(R, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    tn = jnp.full((R,), 1e-4)
+    tf = jnp.full((R,), jnp.inf)
+    h2 = ppt.intersect_packet(nodes, tris, org, d, tn, tf, max_leaf=8,
+                              interpret=True)
+    h4 = pw.intersect_packet4(nodes4, tris, org, d, tn, tf, max_leaf=8,
+                              interpret=True)
+    t2, t4 = np.asarray(h2.t), np.asarray(h4.t)
+    assert (np.isfinite(t2) == np.isfinite(t4)).all()
+    both = np.isfinite(t2)
+    np.testing.assert_allclose(t4[both], t2[both], rtol=1e-6, atol=1e-7)
+    assert (np.asarray(h2.tri) == np.asarray(h4.tri)).all()
