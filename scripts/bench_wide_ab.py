@@ -40,6 +40,7 @@ def main():
     print("backend:", jax.default_backend(), jax.devices(), flush=True)
 
     sb = getattr(builtin_scenes, args.scene)()
+    scene_lights = sb.lights
     camera = getattr(builtin_scenes, args.scene + '_camera')(
         args.res, args.res)
     packed = gm.pack_meshes(sb.meshes)
@@ -52,13 +53,15 @@ def main():
                                     host['valid'])
     nodes = jnp.asarray(ppt.pack_nodes(tree))
     nodes4 = jnp.asarray(pw.pack_nodes4(tree))
+    nodes8 = jnp.asarray(pw.pack_nodes8(tree))
     tris = jnp.asarray(ppt.pack_tris(host['woop'], host,
                                      pad_rows=ppt._hbm_window(args.leaf)))
     hbm = tris.nbytes > 12.5 * (1 << 20)
     geom = {k: jnp.asarray(v) for k, v in host.items()}
-    print("tree: %d binary nodes -> %d wide nodes, %d tri rows, hbm=%s"
-          % (nodes.shape[0], nodes4.shape[0], tris.shape[0], hbm),
-          flush=True)
+    print("tree: %d binary nodes -> %d bvh4 / %d bvh8 nodes, "
+          "%d tri rows, hbm=%s"
+          % (nodes.shape[0], nodes4.shape[0], nodes8.shape[0],
+             tris.shape[0], hbm), flush=True)
 
     # ---- ray populations (camera + sorted bounce-1), built once ----
     w = h = args.res
@@ -130,6 +133,9 @@ def main():
     amortized(lambda e: pw.intersect_packet4(
         nodes4, tris, org, dirn, tn + e, tf, use_cull=True, **kw).t,
         "bvh4 closest")
+    amortized(lambda e: pw.intersect_packet4(
+        nodes8, tris, org, dirn, tn + e, tf, use_cull=True, width=8,
+        **kw).t, "bvh8 closest")
 
     print("bounce-1 sorted (incoherent):", flush=True)
     amortized(lambda e: ppt.intersect_packet(
@@ -138,12 +144,49 @@ def main():
     amortized(lambda e: pw.intersect_packet4(
         nodes4, tris, o1s, d1s, tn1s + e, tf1s, use_cull=True, **kw).t,
         "bvh4 closest")
+    amortized(lambda e: pw.intersect_packet4(
+        nodes8, tris, o1s, d1s, tn1s + e, tf1s, use_cull=True, width=8,
+        **kw).t, "bvh8 closest")
     counts(lambda: ppt.intersect_packet(
         nodes, tris, o1s, d1s, tn1s, tf1s, use_cull=True,
         debug_counts=True, **kw), "binary")
     counts(lambda: pw.intersect_packet4(
         nodes4, tris, o1s, d1s, tn1s, tf1s, use_cull=True,
         debug_counts=True, **kw), "bvh4")
+    counts(lambda: pw.intersect_packet4(
+        nodes8, tris, o1s, d1s, tn1s, tf1s, use_cull=True, width=8,
+        debug_counts=True, **kw), "bvh8")
+
+    # shadow rays from bounce-0 hits toward one sampled light
+    lights = [l for l in scene_lights if l['kind'] == 'triangle']
+    if lights:
+        l = lights[0]
+        u2l = grng.uniform2(jnp.uint32(11), jnp.asarray(order),
+                            jnp.zeros((n,), jnp.uint32), jnp.uint32(40))
+        su = jnp.sqrt(u2l[:, :1])
+        lp = (jnp.asarray(l['v0']) * (1 - su)
+              + jnp.asarray(l['v1']) * (su * (1 - u2l[:, 1:]))
+              + jnp.asarray(l['v2']) * (su * u2l[:, 1:]))
+        dvec = lp - p0
+        dist = jnp.linalg.norm(dvec, axis=-1)
+        sd = dvec / jnp.maximum(dist, 1e-6)[:, None]
+        stn = jnp.full((n,), 1e-3)
+        stf = jnp.where(valid, dist - 1e-3, -1.0)
+        sperm = ppt.hitpoint_sort_perm(p0, jnp.asarray(tree.lo[0]),
+                                       jnp.asarray(tree.hi[0]),
+                                       live=stf > 0)
+        sos, sds = p0[sperm], sd[sperm]
+        stns, stfs = stn[sperm], stf[sperm]
+        print("shadow@b0 any-hit (sorted):", flush=True)
+        amortized(lambda e: ppt.occluded_packet(
+            nodes, tris, sos, sds, stns + e, stfs, use_cull=True,
+            **kw).astype(jnp.float32), "binary any-hit")
+        amortized(lambda e: pw.occluded_packet4(
+            nodes4, tris, sos, sds, stns + e, stfs, use_cull=True,
+            **kw).astype(jnp.float32), "bvh4 any-hit")
+        amortized(lambda e: pw.occluded_packet4(
+            nodes8, tris, sos, sds, stns + e, stfs, use_cull=True,
+            width=8, **kw).astype(jnp.float32), "bvh8 any-hit")
 
 
 if __name__ == '__main__':

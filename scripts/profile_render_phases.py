@@ -73,10 +73,22 @@ def main():
               flush=True)
         return best
 
+    # texture ablation: same geometry/lights, every textured material
+    # replaced by plain matte — isolates the per-hit atlas gather +
+    # st-mapping cost from the rest of shading
+    from yulio_raytracer_tpu.shading import materials as gmat
+    sb_flat = getattr(builtin_scenes, args.scene)()
+    sb_flat.materials = [
+        gmat.make_material('matte', {'reflectance': (0.6, 0.6, 0.6)})
+        if any(l.tex >= 0 for l in m.lobes) else m
+        for m in sb_flat.materials]
+    flat = sb_flat.commit()
+
     t_d = {}
     for d in (1, 2, 3, 4):
         t_d[d] = run("depth %d" % d, scene, max_depth=d)
     t_dark = run("depth 4, lights stripped", dark, max_depth=4)
+    t_flat = run("depth 4, textures stripped", flat, max_depth=4)
     t_nobin = run("depth 4, binning off", scene, max_depth=4,
                   ray_binning='none')
 
@@ -87,6 +99,8 @@ def main():
               % (d - 1, t_d[d] - t_d[d - 1]))
     print("NEE shadow+light shading (d4):  %6.2f s  (full - stripped)"
           % (t_d[4] - t_dark))
+    print("texture gathers (d4):           %6.2f s  (full - flat-matte)"
+          % (t_d[4] - t_flat))
     print("Morton binning net value (d4):  %6.2f s  (off - on)"
           % (t_nobin - t_d[4]))
 

@@ -98,6 +98,23 @@ def test_sample_major_batching_matches_per_sample():
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
 
+def test_bvh4_accel_matches_default_render():
+    """commit(accel='bvh4') routes traversal through the wide-node
+    packet kernel (ops/pallas_wide.py); same tree, same hits — the
+    full render must match the binary-kernel default (the Embree
+    BVH4-vs-BVH2 equivalence behind the .ecs -accel flag)."""
+    cam = builtin_scenes.cornell_camera(32, 32)
+    p = pt.PTParams(max_depth=3)
+    s2 = builtin_scenes.cornell_box().commit(force_bvh=True)
+    s4 = builtin_scenes.cornell_box().commit(force_bvh=True, accel='bvh4')
+    assert 'nodes4' not in s2.packet and 'nodes4' in s4.packet
+    a, _ = renderer.render_frame(s2, cam, p, 32, 32, spp=4, seed=9)
+    b, _ = renderer.render_frame(s4, cam, p, 32, 32, spp=4, seed=9)
+    np.testing.assert_allclose(np.asarray(accum.resolve(a)),
+                               np.asarray(accum.resolve(b)),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_different_seed_converges_to_same_image():
     """Two independent estimators agree within Monte-Carlo noise — the
     PSNR-style parity gate of BASELINE.md applied CPU-vs-CPU."""

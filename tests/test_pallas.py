@@ -577,3 +577,20 @@ def test_wide_bvh4_matches_binary():
     both = np.isfinite(t2)
     np.testing.assert_allclose(t4[both], t2[both], rtol=1e-6, atol=1e-7)
     assert (np.asarray(h2.tri) == np.asarray(h4.tri)).all()
+    # any-hit variant agrees with the binary any-hit kernel
+    o2 = ppt.occluded_packet(nodes, tris, org, d, tn, tf, max_leaf=8,
+                             interpret=True)
+    o4 = pw.occluded_packet4(nodes4, tris, org, d, tn, tf, max_leaf=8,
+                             interpret=True)
+    np.testing.assert_array_equal(np.asarray(o2), np.asarray(o4))
+    # 8-wide encoding of the same tree matches too (closest + any-hit)
+    nodes8 = jnp.asarray(pw.pack_nodes8(tree))
+    h8 = pw.intersect_packet4(nodes8, tris, org, d, tn, tf, max_leaf=8,
+                              interpret=True, width=8)
+    t8 = np.asarray(h8.t)
+    assert (np.isfinite(t2) == np.isfinite(t8)).all()
+    np.testing.assert_allclose(t8[both], t2[both], rtol=1e-6, atol=1e-7)
+    assert (np.asarray(h2.tri) == np.asarray(h8.tri)).all()
+    o8 = pw.occluded_packet4(nodes8, tris, org, d, tn, tf, max_leaf=8,
+                             interpret=True, width=8)
+    np.testing.assert_array_equal(np.asarray(o2), np.asarray(o8))

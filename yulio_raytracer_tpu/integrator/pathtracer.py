@@ -152,11 +152,24 @@ def _intersect(scene, org, dirn, tnear, tfar, time=None,
                 max_leaf=scene.leaf_size, hbm=scene.packet_hbm,
                 use_cull=scene.any_cull)
         if sort_rays and binning != 'none':
+            if 'nodes4' in scene.packet:
+                from ..ops import pallas_wide as ppw
+                return ppw.intersect_packet4_sorted(
+                    scene.packet['nodes4'], scene.packet['tris'], org,
+                    dirn, tnear, tfar, scene.bbox_lo, scene.bbox_hi,
+                    max_leaf=scene.leaf_size, hbm=scene.packet_hbm,
+                    use_cull=scene.any_cull)
             return ppt.intersect_packet_sorted(
                 scene.packet['nodes'], scene.packet['tris'], org, dirn,
                 tnear, tfar, scene.bbox_lo, scene.bbox_hi,
                 max_leaf=scene.leaf_size, hbm=scene.packet_hbm,
                 use_cull=scene.any_cull)
+        if 'nodes4' in scene.packet:
+            from ..ops import pallas_wide as ppw
+            return ppw.intersect_packet4(
+                scene.packet['nodes4'], scene.packet['tris'], org, dirn,
+                tnear, tfar, max_leaf=scene.leaf_size,
+                hbm=scene.packet_hbm, use_cull=scene.any_cull)
         return ppt.intersect_packet(
             scene.packet['nodes'], scene.packet['tris'], org, dirn,
             tnear, tfar, max_leaf=scene.leaf_size, hbm=scene.packet_hbm,
@@ -238,11 +251,25 @@ def _occluded(scene, org, dirn, tnear, tfar, tri_axis=None, time=None,
                 max_leaf=scene.leaf_size, hbm=scene.packet_hbm,
                 use_cull=scene.any_cull)
         elif sort_rays and binning != 'none':
-            occ = ppt.occluded_packet_sorted(
-                scene.packet['nodes'], scene.packet['tris'], org, dirn,
-                tnear, tfar, scene.bbox_lo, scene.bbox_hi,
-                max_leaf=scene.leaf_size, hbm=scene.packet_hbm,
-                use_cull=scene.any_cull, seg=seg, perm=perm)
+            if 'nodes4' in scene.packet:
+                from ..ops import pallas_wide as ppw
+                occ = ppw.occluded_packet4_sorted(
+                    scene.packet['nodes4'], scene.packet['tris'], org,
+                    dirn, tnear, tfar, scene.bbox_lo, scene.bbox_hi,
+                    max_leaf=scene.leaf_size, hbm=scene.packet_hbm,
+                    use_cull=scene.any_cull, seg=seg, perm=perm)
+            else:
+                occ = ppt.occluded_packet_sorted(
+                    scene.packet['nodes'], scene.packet['tris'], org,
+                    dirn, tnear, tfar, scene.bbox_lo, scene.bbox_hi,
+                    max_leaf=scene.leaf_size, hbm=scene.packet_hbm,
+                    use_cull=scene.any_cull, seg=seg, perm=perm)
+        elif 'nodes4' in scene.packet:
+            from ..ops import pallas_wide as ppw
+            occ = ppw.occluded_packet4(
+                scene.packet['nodes4'], scene.packet['tris'], org, dirn,
+                tnear, tfar, max_leaf=scene.leaf_size,
+                hbm=scene.packet_hbm, use_cull=scene.any_cull)
         else:
             occ = ppt.occluded_packet(
                 scene.packet['nodes'], scene.packet['tris'], org, dirn,

@@ -53,8 +53,12 @@ from .lights import lights as glights
 BRUTE_FORCE_MAX_TRIS = 2048
 # packed triangle rows beyond this stay HBM-resident and the packet
 # kernels DMA leaf windows (VMEM is ~16 MB and the kernel needs room for
-# ray blocks; Embree likewise keeps big BVHs DRAM-resident)
-TRIS_VMEM_LIMIT_BYTES = int(12.5 * (1 << 20))
+# ray blocks; Embree likewise keeps big BVHs DRAM-resident).  Round-4
+# probe: a 15.74 MB table compiles and runs VMEM-resident (+16% on
+# sponza bounce-1 closest vs HBM streaming, _vmem_probe.log), so the
+# limit sits at 15.3 MB with ~0.6 MB headroom for the kernel's ray
+# blocks and compiler scratch.
+TRIS_VMEM_LIMIT_BYTES = int(15.3 * (1 << 20))
 # uniform-grid resolution for the DDA dense-sweep path (ops/grid.py):
 # coarse is right for the 128-lane sweep granularity — measured 8^3 has
 # 1.2x duplication and ~6 cells pierced per bounce ray on colonnade
@@ -104,7 +108,8 @@ class SceneBuilder:
     def commit(self, force_bvh: Optional[bool] = None,
                leaf_size: int = 64, view_pos=None,
                view_up=(0.0, 1.0, 0.0),
-               quality: str = 'high') -> "TpuScene":
+               quality: str = 'high',
+               accel: str = 'bvh2') -> "TpuScene":
         """Commit the staged scene. When camera-aligned billboards exist,
         view_pos orients them toward that camera origin (the per-view
         rtUpdatePrimitive + rtCommit of renderer.cpp:550-559).
@@ -118,7 +123,16 @@ class SceneBuilder:
         mechanism; measured slower here).  quality='normal' is the
         plain object-split binned-SAH build (also the automatic
         fallback for motion scenes and when the native builder is
-        unavailable)."""
+        unavailable).
+
+        accel='bvh2' (default) traverses the measured-best binary
+        packet kernel; accel='bvh4' additionally packs a 4-wide
+        collapse of the same tree and routes traversal through
+        ops/pallas_wide.py (the Embree BVH4 analog the .ecs `-accel`
+        flag names, renderer.cpp -rtcore parsing).  The wide kernel
+        wins every standalone traversal A/B (+16-24% bounce-1) but
+        LOSES 2-5% end-to-end inside the full wavefront graph
+        (README round-4 ablation), so it stays opt-in."""
         from .utils import hostmem
         hostmem.tune_malloc()   # commit's big temporaries reuse the arena
         meshes = []
@@ -201,6 +215,15 @@ class SceneBuilder:
                 'treelet_roots': jnp.asarray(troots),
                 'treelet_boxes': jnp.asarray(tboxes),
             }
+            # BVH4 wide encoding of the SAME tree, opt-in (see commit
+            # docstring: wins standalone, loses e2e).  Unbalanced trees
+            # can collapse to MORE SMEM than the binary table (leaf-child
+            # slots); guard the same 1 MB budget and fall back to binary
+            if accel == 'bvh4':
+                from .ops import pallas_wide as ppw
+                nodes4_np = ppw.pack_nodes4(tree)
+                if nodes4_np.nbytes <= MAX_SMEM_NODES * 32:
+                    packet['nodes4'] = jnp.asarray(nodes4_np)
             # transposed planes for the treelet-binned DENSE sweep (the
             # incoherent fast path, ops/pallas_pairs.py) — VMEM-resident
             # only; HBM-sized scenes keep the packet/stack path
