@@ -321,3 +321,40 @@ def test_golden_scene_assets_load_and_render(ecs_name, xml_name):
     assert np.isfinite(img).all(), xml_name
     if xml_name != 'test_transmissive.xml':   # filters only: may be dark
         assert img.max() > 0.0, xml_name
+
+
+def test_accel_flag_plumbed(tmp_path):
+    """`-accel bvh4` reaches commit(accel=...) (VERDICT r4 missing #3:
+    io/ecs.py used to discard the token); bvh4mb stays motion-only and
+    unknown values raise (ADVICE r4 scene.py validation)."""
+    import pytest
+    from yulio_raytracer_tpu.io.ecs import TokenStream, RenderSettings
+    from yulio_raytracer_tpu.io import ecs as gecs
+
+    for tok, want in (('bvh4', 'bvh4'), ('bvh4.triangle4', 'bvh4'),
+                      ('bvh4mb', 'bvh4mb'), ('default', 'bvh2'),
+                      ('bvh2', 'bvh2')):
+        settings = RenderSettings()
+        gecs.parse(TokenStream(f'-accel {tok}'), settings, SceneBuilder(),
+                   str(tmp_path))
+        assert settings.accel == want, tok
+    with pytest.raises(ValueError):
+        gecs.parse(TokenStream('-accel kdtree'), RenderSettings(),
+                   SceneBuilder(), str(tmp_path))
+
+    # sphere_motion.ecs (the reference model's flag) parses to bvh4mb
+    settings, sb = ecs.parse_ecs(os.path.join(ASSETS, 'sphere_motion.ecs'))
+    assert settings.accel == 'bvh4mb'
+    scene = sb.commit(accel=settings.accel)
+    assert scene.accel == 'bvh4mb' and 'tris_mb' in scene.packet
+
+    # bvh4 on a static scene selects the wide table and records it
+    _, sb2 = ecs.parse_ecs(os.path.join(ASSETS, 'cornell_box.ecs'))
+    s4 = sb2.commit(force_bvh=True, accel='bvh4')
+    assert s4.accel == 'bvh4' and 'nodes4' in s4.packet
+    # bvh4mb without motion geometry is a loud error, not a side effect
+    _, sb3 = ecs.parse_ecs(os.path.join(ASSETS, 'cornell_box.ecs'))
+    with pytest.raises(ValueError):
+        sb3.commit(accel='bvh4mb')
+    with pytest.raises(ValueError):
+        sb3.commit(accel='bvh8')

@@ -81,7 +81,7 @@ def main(argv=None):
         return _connect_mode(settings, sb)
     if settings.display:
         return _display_mode(settings, sb)
-    scene = sb.commit()
+    scene = sb.commit(accel=settings.accel)
     out = settings.out_file or 'out.png'
     t0 = time.time()
     img, stats = goutput.render_mono(scene, settings, out)
@@ -141,7 +141,7 @@ def _display_mode(settings, sb):
     writing display.png each frame."""
     from . import output as goutput
     from . import display as gdisplay
-    scene = sb.commit()
+    scene = sb.commit(accel=settings.accel)
     camera = goutput.mono_camera(settings)
     params = goutput.params_from_settings(settings)
     if settings.viewer_port:

@@ -132,7 +132,8 @@ def render_stereo(sb, settings: gecs.RenderSettings, rigs,
         origin = np.asarray(cams[0].local2world[3])
         if client is None and (sb.has_billboards() or scene_static is None):
             scene_static = sb.commit(view_pos=origin,
-                                     view_up=settings.cam_up)
+                                     view_up=settings.cam_up,
+                                     accel=settings.accel)
         faces = []
         for face_index in range(12):
             if stop_flag is not None and stop_flag():

@@ -82,6 +82,9 @@ class RenderSettings:
     # `-connect host[:port] ...` (renderer.cpp:948-956): distributed
     # TCP render servers (parallel/network.py; port defaults to 8282)
     connect: tuple = ()
+    # `-accel {default|bvh2|bvh4|bvh4mb}` (renderer.cpp -rtcore accel=;
+    # sphere_motion.ecs): traversal kernel family, passed to commit()
+    accel: str = 'default'
 
 
 class TokenStream:
@@ -265,8 +268,21 @@ def parse(tokens: TokenStream, settings: RenderSettings, sb: SceneBuilder,
         elif tag == '-renderer':
             settings.renderer = tokens.get()
             _parse_renderer_block(tokens, settings, base_path)
-        elif tag in ('-scene', '-accel', '-builder', '-traverser',
-                     '-device'):
+        elif tag == '-accel':
+            # acceleration-structure selection (renderer.cpp -rtcore
+            # "accel=" parsing; models/sphere_motion.ecs uses bvh4mb).
+            # Embree spellings like 'bvh4.triangle4' map to the wide
+            # kernel; 'default' keeps the measured-best binary kernel.
+            tok = tokens.get()
+            if tok.startswith('bvh4mb'):
+                settings.accel = 'bvh4mb'
+            elif tok.startswith('bvh4'):
+                settings.accel = 'bvh4'
+            elif tok in ('default', 'bvh2') or tok.startswith('bvh2'):
+                settings.accel = 'bvh2'
+            else:
+                raise ValueError(f"unknown -accel value: {tok}")
+        elif tag in ('-scene', '-builder', '-traverser', '-device'):
             tokens.get()   # accepted, no-op on TPU (single device kind)
         elif tag == '-devices':
             # multi-chip fan-out (the -connect analog): 0 = all chips

@@ -16,7 +16,10 @@ Node encoding (`pack_nodes4`): (N4, 32) f32 rows, 4 slots of 8:
   slot k floats [8k .. 8k+8) = [lo.x lo.y lo.z hi.x hi.y hi.z  A  tag]
   tag  > 0: leaf slot, count = tag, A = first packed triangle
   tag == -1: interior slot, A = 4-wide child node index
-  tag ==  0: empty slot (boxes are +inf/-inf so slabs never hit)
+  tag ==  0: empty slot — excluded by the tag!=0 push guard; the
+             +inf/-inf box is DON'T-CARE (with the min/max slab
+             formulation an inverted box still "hits": tmin=tnear <=
+             tmax, so the box values alone must never be relied on)
 SMEM cost is identical to the binary layout: ~N/4 wide nodes x 32 f32
 vs N x 8 f32 (binary leaf nodes disappear into parent slots).
 
@@ -43,6 +46,50 @@ from .pallas_traverse import (BLOCK, STACK, _leaf_groups, _vec_spec,
                               _hbm_window)
 
 INF = float(np.inf)
+
+
+def _check_packed(out: np.ndarray, width: int) -> np.ndarray:
+    """Host-side safety checks on a packed wide-node table:
+
+    * wide-node indices and leaf (start+count) ranges must be exactly
+      representable in f32 (the rows store them as floats; SBVH
+      duplication can inflate packed triangle refs past the input
+      count, so the leaf bound is checked on the packed values);
+    * worst-case stack occupancy: each interior pop can push up to
+      `width` entries (leaves ride the stack too), so a wide tree of
+      depth D can occupy (width-1)*D + 1 slots — assert that fits the
+      kernels' SMEM STACK before a deep/unbalanced tree (e.g.
+      quality='high-spatial' SBVH) could silently overrun it.
+    """
+    tags = out.reshape(-1, width, 8)[:, :, 7]
+    a = out.reshape(-1, width, 8)[:, :, 6]
+    assert out.shape[0] < (1 << 24), "wide node index exceeds f32 exact"
+    leaf = tags > 0
+    if np.any(leaf):
+        assert float(np.max(a[leaf] + tags[leaf])) < float(1 << 24), \
+            "leaf triangle range exceeds f32-exact 2^24"
+    # BFS depth of the wide tree (rows are emitted root-first but not
+    # strictly level-ordered; walk the child links)
+    children = [[] for _ in range(out.shape[0])]
+    interior = tags < 0
+    for w in range(out.shape[0]):
+        for k in range(width):
+            if interior[w, k]:
+                children[w].append(int(a[w, k]))
+    depth = 1
+    frontier = [0]
+    seen = 0
+    while frontier:
+        seen += len(frontier)
+        nxt = [c for w in frontier for c in children[w]]
+        if nxt:
+            depth += 1
+        frontier = nxt
+    worst = (width - 1) * depth + 1
+    assert worst <= STACK, (
+        f"wide tree depth {depth} could occupy {worst} stack slots "
+        f"(> STACK={STACK}); rebuild with a shallower/balanced tree")
+    return out
 
 
 def pack_nodes4(bvh) -> np.ndarray:
@@ -92,7 +139,8 @@ def pack_nodes4(bvh) -> np.ndarray:
             else:
                 row[8 * k + 6] = a
         for k in range(len(slots), 4):
-            row[8 * k + 0:8 * k + 3] = INF      # empty: inverted box
+            # empty slot: excluded by tag==0 (box values are don't-care)
+            row[8 * k + 0:8 * k + 3] = INF
             row[8 * k + 3:8 * k + 6] = -INF
             row[8 * k + 7] = 0.0
         return me
@@ -105,9 +153,7 @@ def pack_nodes4(bvh) -> np.ndarray:
         if b not in wide_of:
             wide_of[b] = emit(b)
         rows[w][8 * k + 6] = float(wide_of[b])
-    out = np.stack(rows).astype(np.float32)
-    assert out.shape[0] < (1 << 24), "wide node index exceeds f32 exact"
-    return out
+    return _check_packed(np.stack(rows).astype(np.float32), 4)
 
 
 def pack_nodes8(bvh) -> np.ndarray:
@@ -159,7 +205,8 @@ def pack_nodes8(bvh) -> np.ndarray:
                 row[8 * k + 6] = float(start[s])
                 row[8 * k + 7] = float(count[s])
         for k in range(len(slots), 8):
-            row[8 * k + 0:8 * k + 3] = INF      # empty: inverted box
+            # empty slot: excluded by tag==0 (box values are don't-care)
+            row[8 * k + 0:8 * k + 3] = INF
             row[8 * k + 3:8 * k + 6] = -INF
             row[8 * k + 7] = 0.0
         return me
@@ -172,9 +219,7 @@ def pack_nodes8(bvh) -> np.ndarray:
         if b not in wide_of:
             wide_of[b] = emit(b)
         rows[w][8 * k + 6] = float(wide_of[b])
-    out = np.stack(rows).astype(np.float32)
-    assert out.shape[0] < (1 << 24), "wide node index exceeds f32 exact"
-    return out
+    return _check_packed(np.stack(rows).astype(np.float32), 8)
 
 
 # descending-order sort networks (compare-exchange pairs); 4 = odd-even

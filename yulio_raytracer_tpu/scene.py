@@ -125,16 +125,33 @@ class SceneBuilder:
         fallback for motion scenes and when the native builder is
         unavailable).
 
-        accel='bvh2' (default) traverses the measured-best binary
+        accel='bvh2' (or 'default') traverses the measured-best binary
         packet kernel; accel='bvh4' additionally packs a 4-wide
         collapse of the same tree and routes traversal through
         ops/pallas_wide.py (the Embree BVH4 analog the .ecs `-accel`
         flag names, renderer.cpp -rtcore parsing).  The wide kernel
         wins every standalone traversal A/B (+16-24% bounce-1) but
         LOSES 2-5% end-to-end inside the full wavefront graph
-        (README round-4 ablation), so it stays opt-in."""
+        (README round-4 ablation), so it stays opt-in.
+        accel='bvh4mb' requires motion geometry and selects the
+        union-bounds motion packet path (sphere_motion.ecs's flag,
+        made explicit instead of a side effect of motion vertices).
+        Unknown accel values raise; when 'bvh4' falls back to the
+        binary table (SMEM budget) a warning is logged and the
+        committed scene's `accel` field records what actually runs.
+        NOTE accel='bvh4' applies to the morton (default) and
+        unsorted-bounce traversals; the ablation binnings
+        ('treelet'/'dense'/'grid') have no wide-kernel variant and
+        keep their own tables (integrator/pathtracer._intersect)."""
         from .utils import hostmem
+        from .utils import logging as glog
         hostmem.tune_malloc()   # commit's big temporaries reuse the arena
+        if accel == 'default':
+            accel = 'bvh2'
+        if accel not in ('bvh2', 'bvh4', 'bvh4mb'):
+            raise ValueError(
+                f"unknown accel {accel!r}: expected 'bvh2' (default), "
+                f"'bvh4', or 'bvh4mb' (motion scenes)")
         meshes = []
         for m in self.meshes:
             if getattr(m, 'face_camera', False) and m.orig_transform is not None:
@@ -149,6 +166,11 @@ class SceneBuilder:
         packed = gmesh.pack_meshes(meshes)
         n_tris = packed.num_triangles
         has_motion = packed.mv0 is not None
+        if accel == 'bvh4mb' and not has_motion:
+            raise ValueError(
+                "accel='bvh4mb' requires motion geometry (meshes with "
+                "motion vertex buffers, trianglemesh_full.cpp:29-33)")
+        accel_used = 'bvh2'
         use_bvh = (force_bvh if force_bvh is not None
                    else n_tris > BRUTE_FORCE_MAX_TRIS)
 
@@ -200,6 +222,7 @@ class SceneBuilder:
                 'nodes': jnp.asarray(ppt.pack_nodes(tree)),
                 'tris_mb': jnp.asarray(ppt.pack_tris_mb(host)),
             }
+            accel_used = 'bvh4mb'
         elif use_bvh:
             # packed arrays for the Pallas packet-traversal kernel
             tris = ppt.pack_tris(host['woop'], host,
@@ -224,6 +247,12 @@ class SceneBuilder:
                 nodes4_np = ppw.pack_nodes4(tree)
                 if nodes4_np.nbytes <= MAX_SMEM_NODES * 32:
                     packet['nodes4'] = jnp.asarray(nodes4_np)
+                    accel_used = 'bvh4'
+                else:
+                    glog.warning(
+                        "accel='bvh4': collapsed table %.2f MB exceeds "
+                        "the SMEM budget; falling back to the binary "
+                        "BVH2 kernel" % (nodes4_np.nbytes / (1 << 20)))
             # transposed planes for the treelet-binned DENSE sweep (the
             # incoherent fast path, ops/pallas_pairs.py) — VMEM-resident
             # only; HBM-sized scenes keep the packet/stack path
@@ -273,6 +302,7 @@ class SceneBuilder:
             any_cull=bool(np.any(np.asarray(packed.cull) != 0)),
             lobe_types=tuple(sorted({lo.type for ms in self.materials
                                      for lo in ms.lobes})),
+            accel=accel_used,
         )
 
 
@@ -326,6 +356,9 @@ class TpuScene:
     # compile away unused BSDF families (shading/lobes.py sample_lobes)
     lobe_types: Optional[tuple] = field(metadata=dict(static=True),
                                         default=None)
+    # which traversal kernel family commit actually selected ('bvh2',
+    # 'bvh4', 'bvh4mb') — records SMEM-budget fallbacks observably
+    accel: str = field(metadata=dict(static=True), default='bvh2')
 
     @property
     def lights(self):
