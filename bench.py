@@ -16,6 +16,15 @@ Mrays/s is measured the reference's way — rays traced / wall seconds,
 steady state (integratorrenderer.cpp:101-111, scripts/benchmark.py:360).
 vs_baseline divides by the north star's per-chip share: >= 100 Mrays/s
 on a v5e-8 => 12.5 Mrays/s/chip (BASELINE.md:16).
+
+Regression-grade reporting (VERDICT r4 next #4): every Mrays/s metric
+is the MEDIAN of >= 3 timed frames (different seeds, dedup-proof), with
+"min"/"max"/"repeats" fields so tunnel noise is distinguishable from a
+real regression, "compile_s" = the warmup call's wall (cold compile +
+first dispatch; ~0 when the persistent compile cache is warm), and —
+for the deep production regimes — "live_fraction" = live lanes /
+dispatched lanes across the wavefront (the dead-lane utilization the
+compaction work targets; 1.0 would mean zero dead work).
 """
 import json
 
@@ -95,41 +104,60 @@ def bench_tpu_psnr():
     return psnr
 
 
+def _timed_frames(scene, camera, params, w, h, spp, repeats: int = 3,
+                  live_fraction: bool = False):
+    """Warmup (compile) + `repeats` timed frames with distinct seeds.
+    Returns (median FrameStats, extras dict with min/max/compile_s
+    [/live_fraction])."""
+    import time
+    from yulio_raytracer_tpu import renderer
+
+    t0 = time.perf_counter()
+    renderer.render_frame(scene, camera, params, w, h, spp=spp, seed=0)
+    compile_s = time.perf_counter() - t0
+    runs = []
+    width = live = 0
+    for seed in range(1, 1 + repeats):
+        stats_list = [] if (live_fraction and seed == 1) else None
+        _, st = renderer.render_frame(scene, camera, params, w, h,
+                                      spp=spp, seed=seed,
+                                      bounce_stats=stats_list)
+        runs.append(st)
+        if stats_list:
+            width = sum(e['width'] for e in stats_list)
+            live = sum(e['live'] for e in stats_list)
+    runs.sort(key=lambda s: s.mrps)
+    med = runs[len(runs) // 2]
+    extras = {"min": round(runs[0].mrps, 3),
+              "max": round(runs[-1].mrps, 3),
+              "repeats": repeats,
+              "compile_s": round(compile_s, 1)}
+    if width:
+        extras["live_fraction"] = round(live / width, 4)
+    return med, extras
+
+
 def bench_cornell():
     from yulio_raytracer_tpu.io import builtin_scenes
     from yulio_raytracer_tpu.integrator import pathtracer as pt
-    from yulio_raytracer_tpu import renderer
 
     scene = builtin_scenes.cornell_box().commit()
     camera = builtin_scenes.cornell_camera(512, 512)
     params = pt.PTParams(max_depth=4)
-    renderer.render_frame(scene, camera, params, 512, 512, spp=32, seed=0)
-    # best of two steady frames — the tunneled device's dispatch latency
-    # is noisy at sub-second frames
-    best = None
-    for seed in (1, 2):
-        _, stats = renderer.render_frame(scene, camera, params, 512, 512,
-                                         spp=32, seed=seed)
-        if best is None or stats.mrps > best.mrps:
-            best = stats
-    return "cornell_512_mrps", best
+    stats, extras = _timed_frames(scene, camera, params, 512, 512, spp=32)
+    return "cornell_512_mrps", stats, extras
 
 
 def bench_colonnade():
     from yulio_raytracer_tpu.io import builtin_scenes
     from yulio_raytracer_tpu.integrator import pathtracer as pt
-    from yulio_raytracer_tpu import renderer
 
     scene = builtin_scenes.colonnade().commit(leaf_size=32)
     camera = builtin_scenes.colonnade_camera(1024, 1024)
     params = pt.PTParams(max_depth=4)
-    # warmup MUST use the same static config (spp is a static jit arg —
-    # the RNG stratification depends on it); a different spp would fold
-    # a recompile into the timed frame
-    renderer.render_frame(scene, camera, params, 1024, 1024, spp=8, seed=0)
-    _, stats = renderer.render_frame(scene, camera, params, 1024, 1024,
-                                     spp=8, seed=1)
-    return "colonnade_1024_mrps", stats
+    stats, extras = _timed_frames(scene, camera, params, 1024, 1024,
+                                  spp=8)
+    return "colonnade_1024_mrps", stats, extras
 
 
 def bench_colonnade_traversal():
@@ -200,18 +228,15 @@ def bench_stereo_face():
     from yulio_raytracer_tpu.io import builtin_scenes
     from yulio_raytracer_tpu.integrator import pathtracer as pt
     from yulio_raytracer_tpu.cameras import cameras as cam
-    from yulio_raytracer_tpu import renderer
 
     scene = builtin_scenes.colonnade().commit(leaf_size=32)
     l2w = cam.look_at((-9.0, 2.2, 0.0), (10.0, 1.6, 0.0), (0.0, 1.0, 0.0))
     rig = cam.make_stereo_rig(l2w, scene_scale=0.05)
     camera = rig[1]                    # right-face, left eye
     params = pt.PTParams(max_depth=10, t_max_shadow_ray=120.0)
-    # same static config for warmup and timed frame (spp is static)
-    renderer.render_frame(scene, camera, params, 1536, 1536, spp=2, seed=0)
-    _, stats = renderer.render_frame(scene, camera, params, 1536, 1536,
-                                     spp=2, seed=1)
-    return "stereo_face_1536_mrps", stats
+    stats, extras = _timed_frames(scene, camera, params, 1536, 1536,
+                                  spp=2, live_fraction=True)
+    return "stereo_face_1536_mrps", stats, extras
 
 
 def bench_tpu_psnr_glass():
@@ -322,15 +347,13 @@ def bench_sponza():
     1024x1024): texture-atlas gather cost at scale."""
     from yulio_raytracer_tpu.io import builtin_scenes
     from yulio_raytracer_tpu.integrator import pathtracer as pt
-    from yulio_raytracer_tpu import renderer
 
     scene = builtin_scenes.sponza_like().commit(leaf_size=32)
     camera = builtin_scenes.sponza_like_camera(1024, 1024)
     params = pt.PTParams(max_depth=4)
-    renderer.render_frame(scene, camera, params, 1024, 1024, spp=8, seed=0)
-    _, stats = renderer.render_frame(scene, camera, params, 1024, 1024,
-                                     spp=8, seed=1)
-    return "sponza_like_1024_mrps", stats
+    stats, extras = _timed_frames(scene, camera, params, 1024, 1024,
+                                  spp=8)
+    return "sponza_like_1024_mrps", stats, extras
 
 
 def main():
@@ -352,12 +375,15 @@ def main():
         }), flush=True)
     for fn in (bench_cornell, bench_colonnade_traversal,
                bench_sponza, bench_stereo_face, bench_colonnade):
-        metric, stats = fn()
+        out = fn()
+        metric, stats = out[0], out[1]
+        extras = out[2] if len(out) > 2 else {}
         print(json.dumps({
             "metric": metric,
             "value": round(stats.mrps, 3),
             "unit": "Mrays/s",
             "vs_baseline": round(stats.mrps / BASELINE_MRPS_PER_CHIP, 4),
+            **extras,
         }), flush=True)
 
 

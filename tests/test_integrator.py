@@ -194,3 +194,85 @@ def test_cornell_box_smoke():
         scene, camera, pt.PTParams(max_depth=2), 64, 64, spp=8, seed=1)
     np.testing.assert_array_equal(np.asarray(film.rgb_sum),
                                   np.asarray(film2.rgb_sum))
+
+
+def test_compacted_driver_matches_scan():
+    """trace_compacted (host-driven per-bounce dispatch with live-ray
+    compaction, VERDICT r4 next #1) is BIT-identical to the lax.scan
+    trace(): compaction only ever drops dead lanes, whose L is already
+    final, and per-lane math is order-independent.  Also checks the
+    per-bounce stats stream (live counts must be non-increasing and the
+    RR cliff at rr_depth must show)."""
+    import numpy as np
+    from yulio_raytracer_tpu.io import builtin_scenes
+    from yulio_raytracer_tpu.integrator import pathtracer as pt
+    from yulio_raytracer_tpu import renderer
+
+    scene = builtin_scenes.cornell_box().commit(force_bvh=True)
+    cam = builtin_scenes.cornell_camera(32, 32)
+    params = pt.PTParams(max_depth=8)
+    film1, st1 = renderer.render_frame(scene, cam, params, 32, 32, spp=4,
+                                       seed=3, compaction='off')
+    stats = []
+    film2, st2 = renderer.render_frame(scene, cam, params, 32, 32, spp=4,
+                                       seed=3, compaction='auto',
+                                       bounce_stats=stats)
+    assert np.array_equal(np.asarray(film1.rgb_sum),
+                          np.asarray(film2.rgb_sum))
+    assert st1.num_rays == st2.num_rays
+    lives = [s['live'] for s in stats]
+    widths = [s['width'] for s in stats]
+    assert lives == sorted(lives, reverse=True)
+    assert widths == sorted(widths, reverse=True)
+    assert all(w >= l for w, l in zip(widths[1:], lives[:-1])), \
+        "a bounce ran narrower than its live count (lossy!)"
+    # Russian roulette from rr_depth=5 must collapse the live set
+    assert lives[-1] < lives[0] // 4
+
+
+def test_compacted_driver_precomputed_sampler():
+    """The precomputed-sampler tables ride the compacted state (per-ray
+    set/sidx picks are gathered with the wavefront)."""
+    import numpy as np
+    from yulio_raytracer_tpu.io import builtin_scenes
+    from yulio_raytracer_tpu.integrator import pathtracer as pt
+    from yulio_raytracer_tpu import renderer
+
+    scene = builtin_scenes.cornell_box().commit(force_bvh=True)
+    cam = builtin_scenes.cornell_camera(24, 24)
+    params = pt.PTParams(max_depth=6)
+    f1, _ = renderer.render_frame(scene, cam, params, 24, 24, spp=4,
+                                  seed=5, sampler='precomputed',
+                                  compaction='off')
+    f2, _ = renderer.render_frame(scene, cam, params, 24, 24, spp=4,
+                                  seed=5, sampler='precomputed',
+                                  compaction='auto')
+    assert np.array_equal(np.asarray(f1.rgb_sum), np.asarray(f2.rgb_sum))
+
+
+def test_pass_budget_watchdog_math():
+    """Every public binning mode gets a watchdog-safe, BLOCK-aligned
+    per-pass ray budget (VERDICT r4 next #3: ray_binning='none' used to
+    inherit the sorted budget and crash the TPU worker)."""
+    from yulio_raytracer_tpu.io import builtin_scenes
+    from yulio_raytracer_tpu.integrator import pathtracer as pt
+    from yulio_raytracer_tpu.renderer import _pass_budget
+
+    scene = builtin_scenes.cornell_box().commit(force_bvh=True)
+    budgets = {}
+    for binning in ('morton', 'grid', 'treelet', 'dense', 'none'):
+        for depth in (1, 4, 10):
+            for n_px in (1, 8):
+                b, cap = _pass_budget(
+                    scene, pt.PTParams(max_depth=depth,
+                                       ray_binning=binning), n_px)
+                assert b % (1024 * n_px) == 0, (binning, depth, n_px)
+                assert cap == 1
+                budgets[(binning, depth, n_px)] = b
+    # unsorted packets traverse ~4-8x slower: the budget must shrink
+    assert budgets[('none', 4, 1)] <= budgets[('morton', 4, 1)] // 4
+    assert budgets[('none', 10, 1)] <= budgets[('morton', 10, 1)]
+    # dense (no-BVH) path budget is memory-bound, not watchdog-bound
+    small = builtin_scenes.cornell_box().commit(force_bvh=False)
+    b, cap = _pass_budget(small, pt.PTParams(), 1)
+    assert cap is None and b > 0

@@ -26,6 +26,7 @@ Divergences from the reference (deliberate, documented):
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Optional
 
 import numpy as np
@@ -289,32 +290,12 @@ def _occluded(scene, org, dirn, tnear, tfar, tri_axis=None, time=None,
     return occ
 
 
-def trace(scene, params: PTParams, org, dirn, seed, pixel_id, sample_id,
-          pixel_uv=None, backplate=None, time=None, samples=None):
-    """Estimate radiance along primary rays.
-
-    org/dirn: (R, 3); pixel_id/sample_id: (R,) uint32 (RNG keys);
-    pixel_uv: (R, 2) in [0,1)^2 for backplate lookups.
-    samples: optional precomputed sample-set tables
-    (sampling/precomputed.py — the reference's SamplerFactory sequences,
-    sampler.cpp:85-160): dict with 'set'/'sidx' (R,) int32 and
-    's1d' (sets, spp, >=max_depth) / 's2d' (sets, spp, >=1+max_depth, 2).
-    When given, the NEE light sample is 2D dim 0 (shared by every light
-    and depth, pathtraceintegrator.cpp:39+133), scatter directions are
-    2D dims 1+depth (cpp:188), and the scatter-type 1D dim `depth` is
-    REUSED for Russian roulette (cpp:179+189) — exactly the reference's
-    stream.  Shadow tMax jitter stays stateless (the reference draws the
-    global system RNG there, cpp:152 — irreproducible by design).
-    Returns (L (R, 3), num_rays (scalar f32)).
-    """
+def _init_state(org, dirn, pixel_id, sample_id, pixel_uv=None, time=None,
+                samples=None):
+    """Fresh wavefront state for primary rays.  Per-ray RNG keys and the
+    optional per-ray sample-table picks ride INSIDE the state dict so
+    the whole wavefront can be permuted/compacted between bounces."""
     r = org.shape[0]
-    up = jnp.asarray(params.up, jnp.float32)
-    seed = jnp.uint32(seed)
-    has_shadow_cap = np.isfinite(params.t_max_shadow_ray)
-
-    env_lights = scene.env_lights
-    all_lights = scene.lights
-
     state = {
         'org': org,
         'dir': dirn,
@@ -327,7 +308,40 @@ def trace(scene, params: PTParams, org, dirn, seed, pixel_id, sample_id,
         'medium_trans': jnp.ones((r, 3)),
         'eta_rr': jnp.ones((r,)),
         'num_rays': jnp.zeros((), jnp.float32),
+        'pid': pixel_id,
+        'sid': sample_id,
     }
+    if pixel_uv is not None:
+        state['uv'] = pixel_uv
+    if time is not None:
+        state['time'] = time
+    if samples is not None:
+        state['sset'] = samples['set']
+        state['ssidx'] = samples['sidx']
+    return state
+
+
+def _make_bounce(scene, params: PTParams, seed, backplate=None,
+                 sample_tables=None):
+    """Build the per-bounce wavefront body — shared by trace() (the
+    single-dispatch lax.scan path) and trace_compacted() (the
+    host-driven loop with live-ray compaction).
+
+    The returned bounce(state, depth, sort_rays, presorted) consumes an
+    _init_state dict.  depth may be a traced scalar (both callers trace
+    it, so ONE compiled body serves every bounce at a given width).
+    presorted=True promises rays already arrive in _ray_sort_key order
+    (the compaction gather's order, ops/pallas_traverse.py), so the
+    closest-hit traversal skips its own argsort; NEE shadow batches
+    still re-sort by hit point.  sample_tables: {'s1d','s2d'} arrays of
+    the precomputed sampler (see trace() docstring).
+    """
+    up = jnp.asarray(params.up, jnp.float32)
+    seed = jnp.uint32(seed)
+    has_shadow_cap = np.isfinite(params.t_max_shadow_ray)
+
+    env_lights = scene.env_lights
+    all_lights = scene.lights
 
     dim_light, dim_stride = _dim_layout(len(all_lights))
 
@@ -365,15 +379,20 @@ def trace(scene, params: PTParams, org, dirn, seed, pixel_id, sample_id,
                     [jnp.asarray(all_lights[i][key]) for i in idxs])
         return arrs
 
-    def bounce(state, depth, sort_rays=False):
+    def bounce(state, depth, sort_rays=False, presorted=False):
+        r = state['org'].shape[0]
+        pixel_id = state['pid']
+        sample_id = state['sid']
+        pixel_uv = state.get('uv')
+        time = state.get('time')
         base = _bounce_dims(depth, dim_stride)
-        if samples is not None:
-            _sset, _sidx = samples['set'], samples['sidx']
+        if sample_tables is not None:
+            _sset, _sidx = state['sset'], state['ssidx']
             # shared NEE light sample: 2D dim 0 (cpp:39,133)
-            nee_u2 = samples['s2d'][_sset, _sidx, 0]
+            nee_u2 = sample_tables['s2d'][_sset, _sidx, 0]
             # per-depth scatter-type 1D, reused by RR (cpp:179,189)
-            pre_s1 = samples['s1d'][_sset, _sidx, depth]
-            pre_s2 = samples['s2d'][_sset, _sidx, 1 + depth]
+            pre_s1 = sample_tables['s1d'][_sset, _sidx, depth]
+            pre_s2 = sample_tables['s2d'][_sset, _sidx, 1 + depth]
         active = state['active']
         org = state['org']
         dirn = state['dir']
@@ -389,8 +408,8 @@ def trace(scene, params: PTParams, org, dirn, seed, pixel_id, sample_id,
         # analog of the reference simply not recursing, cpp:169-182)
         tfar_live = jnp.where(active, jnp.inf, -1.0)
         hit = _intersect(scene, org, dirn,
-                         jnp.zeros((r,)), tfar_live,
-                         time=time, sort_rays=sort_rays,
+                         jnp.zeros((r,)), tfar_live, time=time,
+                         sort_rays=(sort_rays and not presorted),
                          binning=params.ray_binning)
         state = dict(state)
         state['num_rays'] = state['num_rays'] + jnp.sum(active)
@@ -460,7 +479,7 @@ def trace(scene, params: PTParams, org, dirn, seed, pixel_id, sample_id,
             identical to the unrolled form)."""
             mask_ok = (illum_mask_u32
                        & dg['illum_mask'].astype(jnp.uint32)) != 0
-            u2 = (nee_u2 if samples is not None else
+            u2 = (nee_u2 if sample_tables is not None else
                   rng.uniform2(seed, pixel_id, sample_id,
                                base + jnp.uint32(dim_light) + li_dim))
             le, wi, pdf, tmax = glights.sample(l, dg['P'], ns, u2)
@@ -561,7 +580,7 @@ def trace(scene, params: PTParams, org, dirn, seed, pixel_id, sample_id,
         # ---- russian roulette (cpp:172-182, with 1/q compensation) ----
         q = jnp.minimum(jnp.max(thr, axis=-1) * state['eta_rr'] ** 2, 0.95)
         rr_on = depth >= (params.rr_depth - 1)
-        rr_u = (pre_s1 if samples is not None else
+        rr_u = (pre_s1 if sample_tables is not None else
                 rng.uniform1(seed, pixel_id, sample_id,
                              base + jnp.uint32(_DIM_RR)))
         killed = rr_on & (rr_u >= q)
@@ -569,7 +588,7 @@ def trace(scene, params: PTParams, org, dirn, seed, pixel_id, sample_id,
         rr_scale = jnp.where(rr_on, 1.0 / jnp.maximum(q, 1e-3), 1.0)
 
         # ---- GI: sample one lobe (cpp:184-213) ----
-        if samples is not None:
+        if sample_tables is not None:
             s2, s1 = pre_s2, pre_s1    # s1 == rr_u, as in the reference
         else:
             s2 = rng.uniform2(seed, pixel_id, sample_id,
@@ -627,6 +646,32 @@ def trace(scene, params: PTParams, org, dirn, seed, pixel_id, sample_id,
                                     state['eta_rr'])
         return state, None
 
+    return bounce
+
+
+def trace(scene, params: PTParams, org, dirn, seed, pixel_id, sample_id,
+          pixel_uv=None, backplate=None, time=None, samples=None):
+    """Estimate radiance along primary rays (single-dispatch scan form).
+
+    org/dirn: (R, 3); pixel_id/sample_id: (R,) uint32 (RNG keys);
+    pixel_uv: (R, 2) in [0,1)^2 for backplate lookups.
+    samples: optional precomputed sample-set tables
+    (sampling/precomputed.py — the reference's SamplerFactory sequences,
+    sampler.cpp:85-160): dict with 'set'/'sidx' (R,) int32 and
+    's1d' (sets, spp, >=max_depth) / 's2d' (sets, spp, >=1+max_depth, 2).
+    When given, the NEE light sample is 2D dim 0 (shared by every light
+    and depth, pathtraceintegrator.cpp:39+133), scatter directions are
+    2D dims 1+depth (cpp:188), and the scatter-type 1D dim `depth` is
+    REUSED for Russian roulette (cpp:179+189) — exactly the reference's
+    stream.  Shadow tMax jitter stays stateless (the reference draws the
+    global system RNG there, cpp:152 — irreproducible by design).
+    Returns (L (R, 3), num_rays (scalar f32)).
+    """
+    state = _init_state(org, dirn, pixel_id, sample_id, pixel_uv, time,
+                        samples)
+    tables = (None if samples is None else
+              {'s1d': samples['s1d'], 's2d': samples['s2d']})
+    bounce = _make_bounce(scene, params, seed, backplate, tables)
     # bounce 0 is peeled out of the scan: primary (and first-shadow) rays
     # arrive in tiled order and need no ray binning; the remaining bounces
     # have scattered directions/origins, so their traversals run behind an
@@ -637,3 +682,142 @@ def trace(scene, params: PTParams, org, dirn, seed, pixel_id, sample_id,
             lambda st, d: bounce(st, d, sort_rays=True), state,
             jnp.arange(1, params.max_depth, dtype=jnp.int32))
     return state['L'], state['num_rays']
+
+
+# ---------------------------------------------------------------------------
+# Host-driven wavefront with live-ray compaction (round 5).
+#
+# The reference's per-pixel recursion simply STOPS when a path dies
+# (pathtraceintegrator.cpp:169-182) — zero dead work.  The lax.scan form
+# above keeps the full batch width through all max_depth bounces: dead
+# lanes sort into all-dead packets that exit traversal in O(1), but they
+# still occupy width in every argsort, shade, NEE and scatter stage.  At
+# the production depth-10 + RR-from-5 config most lanes are dead from
+# bounce ~5 on, so the scan form does up to ~8x dead elementwise work on
+# late bounces (VERDICT r4 missing #1; SURVEY §7 step 8 'compaction').
+#
+# trace_compacted() runs ONE dispatch per bounce from the host: after
+# each bounce it fetches the live count (a scalar — ~30 ms on a tunneled
+# device), gathers live rays to a prefix (the same octant/Morton key the
+# sorted kernels use, so the gather REPLACES the traversal's own argsort),
+# and slices the state to the smallest allowed static width >= live.
+# XLA static shapes make truly dynamic widths impossible; a small set of
+# power-of-two bucket widths bounds the compile count while capturing
+# most of the dead-lane discount.  Dropped lanes are always dead, so the
+# result is bit-identical per ray to trace() (tests/test_integrator.py).
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=('params', 'sort_rays', 'presorted'))
+def _bounce_step(scene, params, state, depth, seed, backplate=None,
+                 sample_tables=None, sort_rays=True, presorted=False):
+    """One jitted bounce.  depth is TRACED: one compiled graph serves
+    every bounce at a given width (the RR/depth/min-contribution tests
+    and the sample-table indices all consume it dynamically).  Returns
+    (state, live count entering the next bounce)."""
+    bounce = _make_bounce(scene, params, seed, backplate, sample_tables)
+    state, _ = bounce(state, depth, sort_rays=sort_rays,
+                      presorted=presorted)
+    live = state['active'] & (jnp.max(state['throughput'], axis=-1)
+                              >= params.min_contribution)
+    return state, jnp.sum(live.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=('bbox_lo', 'bbox_hi', 'w_out', 'minc'))
+def _compact_step(state, l_out, bbox_lo, bbox_hi, w_out: int, minc: float):
+    """Sort the wavefront by the packet-coherence key (dead lanes last),
+    flush every lane's accumulated L into the full-width output buffer,
+    and slice the state to the first w_out lanes.  The caller guarantees
+    w_out >= live count, so sliced-off lanes are dead and already
+    flushed — exact, not lossy."""
+    from ..ops import pallas_traverse as ppt
+    org, dirn = state['org'], state['dir']
+    r = org.shape[0]
+    live = state['active'] & (jnp.max(state['throughput'], axis=-1)
+                              >= minc)
+    key = ppt._ray_sort_key(org, dirn, jnp.asarray(bbox_lo),
+                            jnp.asarray(bbox_hi))
+    key = key | ((~live).astype(jnp.uint32) << jnp.uint32(30))
+    perm = jnp.argsort(key)
+    # rid is unique per lane -> permutation scatter (fast on TPU)
+    l_out = l_out.at[state['rid']].set(state['L'])
+    sl = perm[:w_out]
+    new_state = {k: (v[sl] if getattr(v, 'ndim', 0) >= 1
+                     and v.shape[0] == r else v)
+                 for k, v in state.items()}
+    return new_state, l_out
+
+
+def compact_widths(r: int, divisors=(1, 4, 16), align: int = 1024):
+    """Allowed static wavefront widths for r rays: r/d for each divisor,
+    rounded up to the packet BLOCK so every width keeps the Pallas
+    kernels engaged (_use_packet).  Each distinct width compiles its own
+    bounce graph — the divisor set bounds cold-compile cost."""
+    ws = set()
+    for d in divisors:
+        w = -(-r // d)                      # ceil
+        w = min(r, max(align, -(-w // align) * align))
+        ws.add(int(w))
+    ws.add(int(r))
+    return sorted(ws, reverse=True)
+
+
+def trace_compacted(scene, params: PTParams, org, dirn, seed, pixel_id,
+                    sample_id, pixel_uv=None, backplate=None, time=None,
+                    samples=None, width_divisors=(1, 4, 16),
+                    bounce_stats=None):
+    """trace() with one dispatch per bounce and live-ray compaction
+    between bounces (see the section comment above).  Bit-identical per
+    ray to trace(); NOT jittable (host control flow picks bucket widths
+    from fetched live counts — the XLA-static-shapes answer to the
+    reference's recursion simply stopping, pathtraceintegrator.cpp:169).
+
+    bounce_stats: optional list; one dict per bounce is appended:
+    {'depth', 'width', 'live', 'seconds'} — `live` is the count ENTERING
+    the next bounce, `seconds` the host wall time of this bounce's
+    dispatch+fetch (the per-bounce phase profile of VERDICT r4 next #1/#2).
+    Returns (L (R, 3), num_rays (device scalar f32)).
+    """
+    import time as _time
+    r = org.shape[0]
+    state = _init_state(org, dirn, pixel_id, sample_id, pixel_uv, time,
+                        samples)
+    state['rid'] = jnp.arange(r, dtype=jnp.int32)
+    tables = (None if samples is None else
+              {'s1d': samples['s1d'], 's2d': samples['s2d']})
+    align = 1024 if scene.packet is not None else 8
+    widths = compact_widths(r, width_divisors, align=align)
+    seed = jnp.uint32(seed)
+    l_out = jnp.zeros((r, 3))
+
+    t0 = _time.perf_counter()
+    state, n_live = _bounce_step(scene, params, state, jnp.int32(0), seed,
+                                 backplate, tables, sort_rays=False)
+    w = r
+    last_d = 0
+    presort = params.ray_binning == 'morton'
+    for d in range(1, params.max_depth):
+        n = int(jax.device_get(n_live))     # syncs bounce d-1
+        if bounce_stats is not None:
+            t1 = _time.perf_counter()
+            bounce_stats.append(dict(depth=d - 1, width=w, live=n,
+                                     seconds=t1 - t0))
+            t0 = t1
+        if n == 0:
+            bounce_stats = None     # all-dead: last entry already logged
+            break
+        w_new = min(w, next(x for x in reversed(widths) if x >= n))
+        state, l_out = _compact_step(state, l_out, scene.bbox_lo,
+                                     scene.bbox_hi, w_new,
+                                     params.min_contribution)
+        w = w_new
+        last_d = d
+        state, n_live = _bounce_step(scene, params, state, jnp.int32(d),
+                                     seed, backplate, tables,
+                                     sort_rays=True, presorted=presort)
+    if bounce_stats is not None:
+        n = int(jax.device_get(n_live))
+        bounce_stats.append(dict(depth=last_d, width=w, live=n,
+                                 seconds=_time.perf_counter() - t0))
+    l_out = l_out.at[state['rid']].set(state['L'])
+    return l_out, state['num_rays']
