@@ -357,6 +357,13 @@ def bench_sponza():
 
 
 def main():
+    # Persistent compile cache: MUST go through jax.config.update — the
+    # axon sitecustomize imports jax at interpreter startup, so setting
+    # JAX_COMPILATION_CACHE_DIR from inside this file is too late (the
+    # config already materialized with the cache disabled; round-4's
+    # cold numbers silently recompiled everything every process).
+    from yulio_raytracer_tpu.utils import compile_cache
+    compile_cache.enable("/root/.cache/jax_comp")
     _ensure_device()
     for name, fn in (("cornell_tpu_vs_cpu_psnr", bench_tpu_psnr),
                      ("sphere_glass_tpu_vs_cpu_psnr",

@@ -21,7 +21,6 @@ Usage: python scripts/profile_bounces.py [--scene sponza_like]
 """
 import argparse
 import os
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 import sys
 import time
 
@@ -41,6 +40,10 @@ def main():
     args = ap.parse_args()
 
     import jax
+    from yulio_raytracer_tpu.utils import compile_cache
+    # via jax.config.update — an env var set here is too late, the axon
+    # sitecustomize already imported jax (cache silently disabled)
+    compile_cache.enable("/root/.cache/jax_comp")
     from yulio_raytracer_tpu.io import builtin_scenes
     from yulio_raytracer_tpu.integrator import pathtracer as pt
     from yulio_raytracer_tpu import renderer as _r

@@ -250,6 +250,37 @@ def test_compacted_driver_precomputed_sampler():
     assert np.array_equal(np.asarray(f1.rgb_sum), np.asarray(f2.rgb_sum))
 
 
+def test_compaction_auto_gate():
+    """'auto' compacts only past the Russian-roulette start
+    (max_depth > rr_depth): shallow configs keep the scan form (no
+    bounce_stats stream), 'on' forces the compacted driver, and both
+    agree bit-exactly with 'off'."""
+    import numpy as np
+    import pytest
+    from yulio_raytracer_tpu.io import builtin_scenes
+    from yulio_raytracer_tpu.integrator import pathtracer as pt
+    from yulio_raytracer_tpu import renderer
+
+    scene = builtin_scenes.cornell_box().commit(force_bvh=True)
+    cam = builtin_scenes.cornell_camera(16, 16)
+    params = pt.PTParams(max_depth=4)          # <= rr_depth (5)
+    stats = []
+    f_auto, _ = renderer.render_frame(scene, cam, params, 16, 16, spp=2,
+                                      seed=7, compaction='auto',
+                                      bounce_stats=stats)
+    assert stats == [], "'auto' compacted a shallow (pre-RR) config"
+    stats_on = []
+    f_on, _ = renderer.render_frame(scene, cam, params, 16, 16, spp=2,
+                                    seed=7, compaction='on',
+                                    bounce_stats=stats_on)
+    assert stats_on, "'on' did not force the compacted driver"
+    np.testing.assert_array_equal(np.asarray(f_auto.rgb_sum),
+                                  np.asarray(f_on.rgb_sum))
+    with pytest.raises(ValueError):
+        renderer.render_frame(scene, cam, params, 16, 16, spp=1,
+                              seed=7, compaction='yes')
+
+
 def test_pass_budget_watchdog_math():
     """Every public binning mode gets a watchdog-safe, BLOCK-aligned
     per-pass ray budget (VERDICT r4 next #3: ray_binning='none' used to

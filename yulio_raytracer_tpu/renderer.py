@@ -276,12 +276,18 @@ def render_frame(scene, camera, params, width: int, height: int, spp: int,
 
     compaction: 'auto' (default) runs BVH-path single-device chunks as
     host-driven per-bounce dispatches with live-ray compaction between
-    bounces (pathtracer.trace_compacted; bit-identical results, large
-    win at deep max_depth where Russian roulette kills most lanes);
-    'off' keeps the single-dispatch lax.scan form.  The sharded (mesh)
-    and dense paths always use the scan form.  bounce_stats: optional
-    list collecting per-bounce {'depth','width','live','seconds'} dicts
-    from every compacted chunk (the production phase profile).
+    bounces (pathtracer.trace_compacted; bit-identical results) WHEN
+    the config has bounces past the Russian-roulette start
+    (max_depth > rr_depth) — that is where lanes die en masse and
+    compaction pays (measured +10-15% on the depth-10 production
+    regimes; live fractions stay 79-100% through bounce 3 on
+    sponza/stereo, so shallow configs have nothing to compact and keep
+    the single-dispatch lax.scan form with its smaller compile
+    family).  'on' forces the compacted driver at any max_depth > 1;
+    'off' keeps the scan form.  The sharded (mesh) and dense paths
+    always use the scan form.  bounce_stats: optional list collecting
+    per-bounce {'depth','width','live','seconds'} dicts from every
+    compacted chunk (the production phase profile).
 
     sampler: 'stateless' (default — per-ray hashed stratification) or
     'precomputed' — the reference's 64-sample-set mode
@@ -306,6 +312,12 @@ def render_frame(scene, camera, params, width: int, height: int, spp: int,
     stop work identically (per-pass budgets scale by the device count).
     """
     import time
+    if compaction not in ('auto', 'on', 'off'):
+        raise ValueError("compaction must be 'auto', 'on' or 'off', got "
+                         f"{compaction!r}")
+    compact_on = (compaction == 'on'
+                  or (compaction == 'auto'
+                      and params.max_depth > params.rr_depth))
     samples = None
     if sampler == 'precomputed':
         from .sampling import precomputed as pc
@@ -414,8 +426,8 @@ def render_frame(scene, camera, params, width: int, height: int, spp: int,
                 scene, camera, params, width, height, spp_grid, pixel_ids,
                 sample0, np.uint32(seed), backplate, spp_per_pass=nsamp,
                 pixel_filter=pixel_filter, mesh=mesh, samples=samples)
-        elif (compaction != 'off' and scene.bvh is not None
-              and nsamp == 1 and params.max_depth > 1):
+        elif (compact_on and scene.bvh is not None and nsamp == 1
+              and params.max_depth > 1):
             rgb, nrays = _render_chunk_compact(
                 scene, camera, params, width, height, spp_grid, pixel_ids,
                 sample0, np.uint32(seed), backplate,
