@@ -71,6 +71,11 @@ class PTParams:
     ray_binning: str = 'morton'
     # backplate: optional (H, W, 3) image for unbent escaped rays
     # (pathtraceintegrator.cpp:80-84); None disables
+    # profiling-only ablation switch (scripts/profile_stage_shares.py):
+    # 'shadow' skips the NEE occlusion traversal (all candidates lit),
+    # 'nee' skips the whole NEE block.  NOT a rendering knob — images
+    # are wrong with any stage skipped.
+    _skip: tuple = ()
 
 
 # RNG dimension layout (per bounce `d`, base = 16 + stride*d).
@@ -510,7 +515,8 @@ def _make_bounce(scene, params: PTParams, seed, backplate=None,
             return cand, contrib, wi, jnp.where(cand, tmax - err_eps,
                                                 -1.0)
 
-        for gkey, idxs in light_groups.items():
+        for gkey, idxs in ({} if 'nee' in params._skip
+                           else light_groups).items():
             if gkey[0] == 'hdri':
                 # HDRI's Distribution2D holds ragged CDF tables that do
                 # not batch; sample each directly (rarely more than one)
@@ -560,16 +566,19 @@ def _make_bounce(scene, params: PTParams, seed, backplate=None,
                     dg['P'], scene.bbox_lo, scene.bbox_hi,
                     live=hit.tri >= 0)
                 shadow_perm = _ppt.tile_perm(p0, nl, r)
-            occ_all = _occluded(
-                scene,
-                jnp.tile(dg['P'], (nl, 1)),
-                wi_all.reshape(nl * r, 3),
-                jnp.tile(err_eps, (nl,)),
-                tfar_all.reshape(nl * r),
-                params.tri_axis, time=(None if time is None
-                                       else jnp.tile(time, (nl,))),
-                sort_rays=sort_rays, binning=params.ray_binning,
-                perm=shadow_perm)
+            if 'shadow' in params._skip:       # profiling ablation only
+                occ_all = jnp.zeros((nl * r,), bool)
+            else:
+                occ_all = _occluded(
+                    scene,
+                    jnp.tile(dg['P'], (nl, 1)),
+                    wi_all.reshape(nl * r, 3),
+                    jnp.tile(err_eps, (nl,)),
+                    tfar_all.reshape(nl * r),
+                    params.tri_axis, time=(None if time is None
+                                           else jnp.tile(time, (nl,))),
+                    sort_rays=sort_rays, binning=params.ray_binning,
+                    perm=shadow_perm)
             lit = cand_all & ~occ_all.reshape(nl, r)
             L = L + jnp.sum(jnp.where(lit[:, :, None], contrib_all, 0.0),
                             axis=0)
@@ -726,10 +735,14 @@ def _bounce_step(scene, params, state, depth, seed, backplate=None,
 @partial(jax.jit, static_argnames=('bbox_lo', 'bbox_hi', 'w_out', 'minc'))
 def _compact_step(state, l_out, bbox_lo, bbox_hi, w_out: int, minc: float):
     """Sort the wavefront by the packet-coherence key (dead lanes last),
-    flush every lane's accumulated L into the full-width output buffer,
-    and slice the state to the first w_out lanes.  The caller guarantees
-    w_out >= live count, so sliced-off lanes are dead and already
-    flushed — exact, not lossy."""
+    flush the DROPPED lanes' accumulated L into the full-width output
+    buffer, and slice the state to the first w_out lanes.  The caller
+    guarantees w_out >= live count, so sliced-off lanes are dead and
+    their L is final — exact, not lossy.  Lanes that survive (live or
+    not) are flushed once by trace_compacted's final full flush, so the
+    per-step scatter touches only the r - w_out dropped rows (the r5
+    stage profile measured the old full-width flush + 17-array permute
+    at ~400 ms/Mray — ~20% of a production bounce)."""
     from ..ops import pallas_traverse as ppt
     org, dirn = state['org'], state['dir']
     r = org.shape[0]
@@ -739,13 +752,84 @@ def _compact_step(state, l_out, bbox_lo, bbox_hi, w_out: int, minc: float):
                             jnp.asarray(bbox_hi))
     key = key | ((~live).astype(jnp.uint32) << jnp.uint32(30))
     perm = jnp.argsort(key)
-    # rid is unique per lane -> permutation scatter (fast on TPU)
-    l_out = l_out.at[state['rid']].set(state['L'])
+    dropped = perm[w_out:]
+    if w_out < r:
+        # rid is unique per lane -> permutation scatter (fast on TPU)
+        l_out = l_out.at[state['rid'][dropped]].set(state['L'][dropped])
     sl = perm[:w_out]
     new_state = {k: (v[sl] if getattr(v, 'ndim', 0) >= 1
                      and v.shape[0] == r else v)
                  for k, v in state.items()}
     return new_state, l_out
+
+
+_PREWARM_KEYS = set()
+
+
+def _prewarm_shrunk_widths(scene, params, state, widths, seed, backplate,
+                           tables):
+    """Overlap the shrunk-width compiles with the full-width bounces.
+
+    Each compact bucket width compiles its own bounce graph (~60-100 s
+    for a production scene), and the host loop otherwise discovers them
+    SERIALLY: bounce 5 blocks on the first shrunk width's compile,
+    bounce 6 on the next (round-5 measurement: compaction='auto' cold
+    compile 329 s vs 66 s for the scan form).  Here one daemon thread
+    per shrunk width AOT-compiles its bounce + compact graphs
+    (jit.lower().compile() — host-side work, no device dispatch) while
+    the full-width bounces 1-4 execute; the results land in the
+    persistent compilation cache (utils/compile_cache.py), which the
+    host loop's jit calls then hit instead of compiling.  Concurrent
+    XLA compiles are independent, so cold cost ≈ max(compile) instead
+    of Σ(compile).  Pure optimization: failures are swallowed and the
+    foreground loop compiles as before."""
+    import threading
+    r = state['org'].shape[0]
+    shrunk = [w2 for w2 in widths if w2 < r]
+    if not shrunk or r < (1 << 18):     # tiny configs compile in seconds
+        return
+    scene_key = tuple((v.shape, str(v.dtype))
+                      for v in jax.tree_util.tree_leaves(scene)
+                      if hasattr(v, 'shape'))
+    key = (scene_key, r, tuple(widths), params,
+           backplate is not None, tables is not None)
+    if key in _PREWARM_KEYS:
+        return
+    _PREWARM_KEYS.add(key)
+    presort_key = params.ray_binning == 'morton'
+
+    def sds_state(w2):
+        return {k: (jax.ShapeDtypeStruct((w2,) + v.shape[1:], v.dtype)
+                    if getattr(v, 'ndim', 0) >= 1 and v.shape[0] == r
+                    else v)
+                for k, v in state.items()}
+
+    def compile_bounce(w2):
+        try:
+            _bounce_step.lower(
+                scene, params, sds_state(w2), jnp.int32(1), seed,
+                backplate, tables, sort_rays=True,
+                presorted=presort_key).compile()
+        except Exception:
+            pass
+
+    def compile_compacts():
+        try:
+            l_sds = jax.ShapeDtypeStruct((r, 3), jnp.float32)
+            pairs = [(r, w2) for w2 in shrunk]
+            pairs += [(a, b) for a in shrunk for b in shrunk if b <= a]
+            for w_in, w_out in pairs:
+                st = sds_state(w_in)
+                _compact_step.lower(st, l_sds, scene.bbox_lo,
+                                    scene.bbox_hi, w_out,
+                                    params.min_contribution).compile()
+        except Exception:
+            pass
+
+    for w2 in shrunk:
+        threading.Thread(target=compile_bounce, args=(w2,),
+                         daemon=True).start()
+    threading.Thread(target=compile_compacts, daemon=True).start()
 
 
 def compact_widths(r: int, divisors=(1, 4, 16), align: int = 1024):
@@ -789,13 +873,15 @@ def trace_compacted(scene, params: PTParams, org, dirn, seed, pixel_id,
     widths = compact_widths(r, width_divisors, align=align)
     seed = jnp.uint32(seed)
     l_out = jnp.zeros((r, 3))
+    _prewarm_shrunk_widths(scene, params, state, widths, seed, backplate,
+                           tables)
 
     t0 = _time.perf_counter()
     state, n_live = _bounce_step(scene, params, state, jnp.int32(0), seed,
                                  backplate, tables, sort_rays=False)
     w = r
     last_d = 0
-    presort = params.ray_binning == 'morton'
+    presort_key = params.ray_binning == 'morton'
     for d in range(1, params.max_depth):
         n = int(jax.device_get(n_live))     # syncs bounce d-1
         if bounce_stats is not None:
@@ -807,14 +893,23 @@ def trace_compacted(scene, params: PTParams, org, dirn, seed, pixel_id,
             bounce_stats = None     # all-dead: last entry already logged
             break
         w_new = min(w, next(x for x in reversed(widths) if x >= n))
-        state, l_out = _compact_step(state, l_out, scene.bbox_lo,
-                                     scene.bbox_hi, w_new,
-                                     params.min_contribution)
+        # Compact only when the width SHRINKS (or to keep an already-
+        # shrunk wavefront in presorted order, where the step is cheap).
+        # At full width nothing is dropped and the 17-array state
+        # permute costs ~6x the traversal's internal 4-array sort (r5
+        # stage profile: 397 ms vs 63 ms per Mray) — the early
+        # high-live bounces run faster letting _sorted_call regroup.
+        presorted = False
+        if w_new < w or (w < r and presort_key):
+            state, l_out = _compact_step(state, l_out, scene.bbox_lo,
+                                         scene.bbox_hi, w_new,
+                                         params.min_contribution)
+            presorted = presort_key
         w = w_new
         last_d = d
         state, n_live = _bounce_step(scene, params, state, jnp.int32(d),
                                      seed, backplate, tables,
-                                     sort_rays=True, presorted=presort)
+                                     sort_rays=True, presorted=presorted)
     if bounce_stats is not None:
         n = int(jax.device_get(n_live))
         bounce_stats.append(dict(depth=last_d, width=w, live=n,
