@@ -356,6 +356,100 @@ def bench_sponza():
     return "sponza_like_1024_mrps", stats, extras
 
 
+def bench_incoherent_utilization():
+    """Kernel-utilization line (VERDICT r4 next #4): achieved tri-pair
+    test rate inside the full traversal kernel on the bounce-1 sorted
+    population, against the 26.3 Gpairs/s standalone VPU ceiling
+    (README 'Incoherent-traversal roofline').  Regression-tracks the
+    MFU-style number the roofline writeups lean on: value = Gpairs/s,
+    vs_baseline = fraction of the ceiling.  Pairs/ray comes from the
+    kernel's own counters (tri-rows x 8 per packet, debug_counts)."""
+    import time
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from yulio_raytracer_tpu.io import builtin_scenes
+    from yulio_raytracer_tpu.ops import pallas_traverse as ppt
+    from yulio_raytracer_tpu.ops import intersect as ops_i
+    from yulio_raytracer_tpu.core import rng as grng
+    from yulio_raytracer_tpu import renderer as _r
+
+    scene = builtin_scenes.colonnade().commit(leaf_size=32)
+    nodes, tris = scene.packet['nodes'], scene.packet['tris']
+    kw = dict(max_leaf=scene.leaf_size, hbm=scene.packet_hbm,
+              use_cull=scene.any_cull)
+    w = h = 512
+    n = w * h
+    camera = builtin_scenes.colonnade_camera(w, h)
+    order = _r._tile_order(w, h)
+    px = jnp.asarray((order % w).astype(np.float32))
+    py = jnp.asarray((order // w).astype(np.float32))
+    uv = jnp.stack([(px + 0.5) / w, (py + 0.5) / h], axis=-1)
+    org, dirn = camera.ray(uv, jnp.zeros((n, 2)))
+    tn, tf = jnp.zeros((n,)), jnp.full((n,), jnp.inf)
+
+    @jax.jit
+    def bounce1(e):
+        """Primary hit -> cosine-scattered bounce rays, PRESORTED by
+        the wavefront key (so the timed kernel call needs no sort)."""
+        hit = ppt.intersect_packet(nodes, tris, org, dirn, tn + e, tf,
+                                   **kw)
+        valid = hit.tri >= 0
+        p0 = org + hit.t[:, None] * dirn
+        dg = ops_i.post_intersect(scene.geom, org, dirn, hit)
+        ns = dg['Ns']
+        ns = jnp.where((jnp.sum(ns * dirn, -1) > 0)[:, None], -ns, ns)
+        u2 = grng.uniform2(jnp.uint32(9), jnp.asarray(order),
+                           jnp.zeros((n,), jnp.uint32), jnp.uint32(33))
+        r_ = jnp.sqrt(u2[:, 0])
+        phi = 2 * np.pi * u2[:, 1]
+        upv = jnp.where((jnp.abs(ns[:, 2]) < 0.9)[:, None],
+                        jnp.asarray([0., 0., 1.]), jnp.asarray([1., 0., 0.]))
+        tx = jnp.cross(upv, ns)
+        tx = tx / jnp.linalg.norm(tx, axis=-1, keepdims=True)
+        ty = jnp.cross(ns, tx)
+        d1 = ((r_ * jnp.cos(phi))[:, None] * tx
+              + (r_ * jnp.sin(phi))[:, None] * ty
+              + jnp.sqrt(jnp.maximum(1 - u2[:, 0], 0.0))[:, None] * ns)
+        o1 = p0 + d1 * 1e-3
+        tf1 = jnp.where(valid, jnp.inf, -1.0)
+        key = ppt._ray_sort_key(o1, d1, jnp.asarray(scene.bbox_lo),
+                                jnp.asarray(scene.bbox_hi))
+        key = key | ((~valid).astype(jnp.uint32) << jnp.uint32(30))
+        perm = jnp.argsort(key)
+        return o1[perm], d1[perm], tf1[perm]
+
+    o1, d1, tf1 = bounce1(jnp.float32(0.0))
+
+    @jax.jit
+    def counted(o, d, tfr):
+        hit, counts = ppt.intersect_packet(nodes, tris, o, d,
+                                           jnp.zeros((n,)), tfr,
+                                           debug_counts=True, **kw)
+        return hit.t, counts
+
+    @jax.jit
+    def plain(o, d, tfr, e):
+        return ppt.intersect_packet(nodes, tris, o, d,
+                                    jnp.zeros((n,)) + e, tfr, **kw).t
+
+    _, counts = counted(o1, d1, tf1)
+    counts = np.asarray(counts)                 # fetch = sync
+    pairs = float(counts[:, 3].sum()) * 8.0 * ppt.BLOCK
+    np.asarray(plain(o1, d1, tf1, jnp.float32(0.0)).ravel()[:1])  # warm
+    rates = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        np.asarray(plain(o1, d1, tf1,
+                         jnp.float32((i + 1) * 1e-6)).ravel()[:1])
+        rates.append(pairs / (time.perf_counter() - t0) / 1e9)
+    rates.sort()
+    return rates[1], {"min": round(rates[0], 2),
+                      "max": round(rates[2], 2),
+                      "pairs_per_ray": round(pairs / n, 1),
+                      "ceiling_gpairs": 26.3}
+
+
 def main():
     # Persistent compile cache: MUST go through jax.config.update — the
     # axon sitecustomize imports jax at interpreter startup, so setting
@@ -380,6 +474,14 @@ def main():
             "unit": "dB",
             "vs_baseline": round(psnr / PSNR_TARGET_DB, 4),
         }), flush=True)
+    gp, gp_extras = bench_incoherent_utilization()
+    print(json.dumps({
+        "metric": "incoherent_kernel_utilization_gpairs",
+        "value": round(gp, 2),
+        "unit": "Gpairs/s",
+        "vs_baseline": round(gp / 26.3, 4),
+        **gp_extras,
+    }), flush=True)
     for fn in (bench_cornell, bench_colonnade_traversal,
                bench_sponza, bench_stereo_face, bench_colonnade):
         out = fn()

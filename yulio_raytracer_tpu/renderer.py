@@ -279,11 +279,12 @@ def render_frame(scene, camera, params, width: int, height: int, spp: int,
     bounces (pathtracer.trace_compacted; bit-identical results) WHEN
     the config has bounces past the Russian-roulette start
     (max_depth > rr_depth) — that is where lanes die en masse and
-    compaction pays (measured +10-15% on the depth-10 production
-    regimes; live fractions stay 79-100% through bounce 3 on
-    sponza/stereo, so shallow configs have nothing to compact and keep
-    the single-dispatch lax.scan form with its smaller compile
-    family).  'on' forces the compacted driver at any max_depth > 1;
+    compaction pays (measured r5: 1.20x on sponza_like 1024^2 depth 10,
+    1.40x on the 1536^2 stereo shape; live fractions stay 79-100%
+    through bounce 3 on sponza/stereo, so shallow configs have nothing
+    to compact and keep the single-dispatch lax.scan form with its
+    smaller compile family).  'on' forces the compacted driver at any
+    max_depth > 1;
     'off' keeps the scan form.  The sharded (mesh) and dense paths
     always use the scan form.  bounce_stats: optional list collecting
     per-bounce {'depth','width','live','seconds'} dicts from every
