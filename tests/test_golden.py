@@ -105,7 +105,7 @@ def test_bvh4_accel_matches_default_render():
     BVH4-vs-BVH2 equivalence behind the .ecs -accel flag)."""
     cam = builtin_scenes.cornell_camera(32, 32)
     p = pt.PTParams(max_depth=3)
-    s2 = builtin_scenes.cornell_box().commit(force_bvh=True)
+    s2 = builtin_scenes.cornell_box().commit(force_bvh=True, accel='bvh2')
     s4 = builtin_scenes.cornell_box().commit(force_bvh=True, accel='bvh4')
     assert 'nodes4' not in s2.packet and 'nodes4' in s4.packet
     a, _ = renderer.render_frame(s2, cam, p, 32, 32, spp=4, seed=9)

@@ -332,7 +332,7 @@ def test_accel_flag_plumbed(tmp_path):
     from yulio_raytracer_tpu.io import ecs as gecs
 
     for tok, want in (('bvh4', 'bvh4'), ('bvh4.triangle4', 'bvh4'),
-                      ('bvh4mb', 'bvh4mb'), ('default', 'bvh2'),
+                      ('bvh4mb', 'bvh4mb'), ('default', 'default'),
                       ('bvh2', 'bvh2')):
         settings = RenderSettings()
         gecs.parse(TokenStream(f'-accel {tok}'), settings, SceneBuilder(),
@@ -352,6 +352,14 @@ def test_accel_flag_plumbed(tmp_path):
     _, sb2 = ecs.parse_ecs(os.path.join(ASSETS, 'cornell_box.ecs'))
     s4 = sb2.commit(force_bvh=True, accel='bvh4')
     assert s4.accel == 'bvh4' and 'nodes4' in s4.packet
+    # 'default' auto-selects the wide table when it fits (round-5 e2e
+    # flip, scripts/bench_accel_ab.py); 'bvh2' forces the binary kernel
+    _, sb2d = ecs.parse_ecs(os.path.join(ASSETS, 'cornell_box.ecs'))
+    sd = sb2d.commit(force_bvh=True)
+    assert sd.accel == 'bvh4' and 'nodes4' in sd.packet
+    _, sb2b = ecs.parse_ecs(os.path.join(ASSETS, 'cornell_box.ecs'))
+    s2 = sb2b.commit(force_bvh=True, accel='bvh2')
+    assert s2.accel == 'bvh2' and 'nodes4' not in s2.packet
     # bvh4mb without motion geometry is a loud error, not a side effect
     _, sb3 = ecs.parse_ecs(os.path.join(ASSETS, 'cornell_box.ecs'))
     with pytest.raises(ValueError):

@@ -66,8 +66,9 @@ class PTParams:
     # treelet-binned dense sweeps (ablation; overlapping treelet boxes
     # keep its fallback expensive), 'treelet' = treelet-binned
     # stack-kernel rounds (ablation), 'none' = raw pixel order.
-    # NOTE commit(accel='bvh4') wide kernels serve only 'morton' and
-    # unsorted bounces; the ablation binnings use their own tables.
+    # NOTE the wide (bvh4) kernels — the default accel when the table
+    # fits — serve only 'morton' and unsorted bounces; the ablation
+    # binnings use their own tables (binary kernels).
     ray_binning: str = 'morton'
     # backplate: optional (H, W, 3) image for unbent escaped rays
     # (pathtraceintegrator.cpp:80-84); None disables

@@ -272,13 +272,16 @@ def parse(tokens: TokenStream, settings: RenderSettings, sb: SceneBuilder,
             # acceleration-structure selection (renderer.cpp -rtcore
             # "accel=" parsing; models/sphere_motion.ecs uses bvh4mb).
             # Embree spellings like 'bvh4.triangle4' map to the wide
-            # kernel; 'default' keeps the measured-best binary kernel.
+            # kernel; 'default' auto-selects (bvh4 when its table fits
+            # — the round-5 measured default; scene.commit docstring).
             tok = tokens.get()
             if tok.startswith('bvh4mb'):
                 settings.accel = 'bvh4mb'
             elif tok.startswith('bvh4'):
                 settings.accel = 'bvh4'
-            elif tok in ('default', 'bvh2') or tok.startswith('bvh2'):
+            elif tok == 'default':
+                settings.accel = 'default'
+            elif tok.startswith('bvh2'):
                 settings.accel = 'bvh2'
             else:
                 raise ValueError(f"unknown -accel value: {tok}")

@@ -109,7 +109,7 @@ class SceneBuilder:
                leaf_size: int = 64, view_pos=None,
                view_up=(0.0, 1.0, 0.0),
                quality: str = 'high',
-               accel: str = 'bvh2') -> "TpuScene":
+               accel: str = 'default') -> "TpuScene":
         """Commit the staged scene. When camera-aligned billboards exist,
         view_pos orients them toward that camera origin (the per-view
         rtUpdatePrimitive + rtCommit of renderer.cpp:550-559).
@@ -125,19 +125,24 @@ class SceneBuilder:
         fallback for motion scenes and when the native builder is
         unavailable).
 
-        accel='bvh2' (or 'default') traverses the measured-best binary
-        packet kernel; accel='bvh4' additionally packs a 4-wide
-        collapse of the same tree and routes traversal through
-        ops/pallas_wide.py (the Embree BVH4 analog the .ecs `-accel`
-        flag names, renderer.cpp -rtcore parsing).  The wide kernel
-        wins every standalone traversal A/B (+16-24% bounce-1) but
-        LOSES 2-5% end-to-end inside the full wavefront graph
-        (README round-4 ablation), so it stays opt-in.
+        accel='default' auto-selects: the BVH4 wide collapse
+        (ops/pallas_wide.py, the Embree BVH4 analog the .ecs `-accel`
+        flag names) when its table fits the SMEM budget and the tree's
+        worst-case stack bound, the binary packet kernel otherwise.
+        Round 4 measured the wide kernels winning standalone but losing
+        2-5% end-to-end and kept them opt-in; round 5's row-aligned
+        default tree halved union tri-rows/packet, moving the kernel
+        off the pair-test roofline (bench.py utilization metric:
+        12.4 of 26.3 Gpairs/s), and the re-measured e2e flipped:
+        +2.1% colonnade depth-4, +7.0% sponza depth-10
+        (scripts/bench_accel_ab.py) — so bvh4 is now the default
+        where it fits.  accel='bvh2' forces the binary kernel;
+        accel='bvh4' demands the wide kernel (budget overflow logs a
+        warning and falls back, a too-deep tree raises).
         accel='bvh4mb' requires motion geometry and selects the
         union-bounds motion packet path (sphere_motion.ecs's flag,
         made explicit instead of a side effect of motion vertices).
-        Unknown accel values raise; when 'bvh4' falls back to the
-        binary table (SMEM budget) a warning is logged and the
+        Unknown accel values raise; the
         committed scene's `accel` field records what actually runs.
         NOTE accel='bvh4' applies to the morton (default) and
         unsorted-bounce traversals; the ablation binnings
@@ -146,12 +151,11 @@ class SceneBuilder:
         from .utils import hostmem
         from .utils import logging as glog
         hostmem.tune_malloc()   # commit's big temporaries reuse the arena
-        if accel == 'default':
-            accel = 'bvh2'
-        if accel not in ('bvh2', 'bvh4', 'bvh4mb'):
+        if accel not in ('default', 'bvh2', 'bvh4', 'bvh4mb'):
             raise ValueError(
-                f"unknown accel {accel!r}: expected 'bvh2' (default), "
-                f"'bvh4', or 'bvh4mb' (motion scenes)")
+                f"unknown accel {accel!r}: expected 'default' "
+                f"(auto-select), 'bvh2', 'bvh4', or 'bvh4mb' "
+                f"(motion scenes)")
         meshes = []
         for m in self.meshes:
             if getattr(m, 'face_camera', False) and m.orig_transform is not None:
@@ -238,21 +242,34 @@ class SceneBuilder:
                 'treelet_roots': jnp.asarray(troots),
                 'treelet_boxes': jnp.asarray(tboxes),
             }
-            # BVH4 wide encoding of the SAME tree, opt-in (see commit
-            # docstring: wins standalone, loses e2e).  Unbalanced trees
-            # can collapse to MORE SMEM than the binary table (leaf-child
-            # slots); guard the same 1 MB budget and fall back to binary
-            if accel == 'bvh4':
+            # BVH4 wide encoding of the SAME tree — the default when it
+            # fits (round-5 e2e flip, see commit docstring).  Unbalanced
+            # trees can collapse to MORE SMEM than the binary table
+            # (leaf-child slots); guard the same 1 MB budget and fall
+            # back to binary.  'default' also tolerates the wide
+            # packer's worst-case-stack assert (very deep trees);
+            # explicit 'bvh4' propagates it.
+            if accel in ('bvh4', 'default'):
                 from .ops import pallas_wide as ppw
-                nodes4_np = ppw.pack_nodes4(tree)
-                if nodes4_np.nbytes <= MAX_SMEM_NODES * 32:
+                nodes4_np = None
+                try:
+                    nodes4_np = ppw.pack_nodes4(tree)
+                except AssertionError:
+                    if accel == 'bvh4':
+                        raise
+                    glog.info("accel auto-select: wide packing failed "
+                              "its stack/exactness guards; using the "
+                              "binary BVH2 kernel")
+                if (nodes4_np is not None
+                        and nodes4_np.nbytes <= MAX_SMEM_NODES * 32):
                     packet['nodes4'] = jnp.asarray(nodes4_np)
                     accel_used = 'bvh4'
-                else:
-                    glog.warning(
-                        "accel='bvh4': collapsed table %.2f MB exceeds "
+                elif nodes4_np is not None:
+                    log = glog.warning if accel == 'bvh4' else glog.info
+                    log("accel=%r: collapsed table %.2f MB exceeds "
                         "the SMEM budget; falling back to the binary "
-                        "BVH2 kernel" % (nodes4_np.nbytes / (1 << 20)))
+                        "BVH2 kernel" % (accel,
+                                         nodes4_np.nbytes / (1 << 20)))
             # transposed planes for the treelet-binned DENSE sweep (the
             # incoherent fast path, ops/pallas_pairs.py) — VMEM-resident
             # only; HBM-sized scenes keep the packet/stack path
