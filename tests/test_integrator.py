@@ -307,3 +307,40 @@ def test_pass_budget_watchdog_math():
     small = builtin_scenes.cornell_box().commit(force_bvh=False)
     b, cap = _pass_budget(small, pt.PTParams(), 1)
     assert cap is None and b > 0
+
+
+def test_compact_widths_math():
+    """Bucket widths: descending, BLOCK-aligned (so _use_packet keeps
+    the Pallas kernels engaged at every width), include the full width,
+    and every bucket >= its divisor share of r."""
+    from yulio_raytracer_tpu.integrator.pathtracer import compact_widths
+
+    r = 1 << 21
+    ws = compact_widths(r, divisors=(1, 4, 16), align=1024)
+    assert ws == sorted(ws, reverse=True)
+    assert ws[0] == r
+    assert all(w % 1024 == 0 for w in ws)
+    assert set(ws) == {r, r // 4, r // 16}
+    # tiny widths clamp to the alignment floor
+    assert compact_widths(2048, divisors=(1, 16), align=1024) == \
+        [2048, 1024]
+
+
+def test_prewarm_gating_small_wavefronts():
+    """_prewarm_shrunk_widths must be a no-op for small wavefronts
+    (tests/tiny renders must not spawn compile threads) and must not
+    touch the scene before the gate."""
+    import jax.numpy as jnp
+    from yulio_raytracer_tpu.integrator import pathtracer as pt
+
+    n_keys = len(pt._PREWARM_KEYS)
+    state = {'org': jnp.zeros((1024, 3))}
+    # scene=None would raise on any attribute access past the gate
+    pt._prewarm_shrunk_widths(None, pt.PTParams(), state,
+                              [1024], jnp.uint32(0), None, None)
+    assert len(pt._PREWARM_KEYS) == n_keys
+    # no shrunk widths -> no-op even for big wavefronts
+    state = {'org': jnp.zeros((1 << 19, 3))}
+    pt._prewarm_shrunk_widths(None, pt.PTParams(), state,
+                              [1 << 19], jnp.uint32(0), None, None)
+    assert len(pt._PREWARM_KEYS) == n_keys
