@@ -89,12 +89,23 @@ def main():
     results = []
     for scene_name in args.scenes.split(','):
         for mode in args.modes.split(','):
-            if scene_name == 'colonnade' and mode == 'dense':
-                # ~92k tris brute-force runs minutes per frame — the
-                # dense intersector is the small-scene path by design
-                continue
             scene, camera_fn, build_s = _load_scene(scene_name,
                                                     mode == 'bvh')
+            if mode == 'dense':
+                # brute force is O(rays x tris) per bounce; gate by the
+                # frame's camera-ray pair count so big scenes (colonnade
+                # 87k, sponza 238k tris -> 1e12 pairs/bounce ~ 80 s each
+                # at the 12.8 Gpairs/s kernel rate) don't eat the whole
+                # matrix budget — the dense intersector is the
+                # small-scene path by design (renderer._pass_budget
+                # keeps it watchdog-safe at any size; this skip is about
+                # matrix wall time, not safety)
+                pairs = (float(scene.num_triangles)
+                         * args.size * args.size * args.spp)
+                if pairs > 1e11:
+                    print(f"{scene_name:16s} dense  skipped "
+                          f"({pairs:.1e} pairs/frame)", flush=True)
+                    continue
             camera = camera_fn(args.size, args.size)
             params = pt.PTParams(max_depth=args.depth)
             mrps_all = []

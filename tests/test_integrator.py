@@ -303,10 +303,22 @@ def test_pass_budget_watchdog_math():
     # unsorted packets traverse ~4-8x slower: the budget must shrink
     assert budgets[('none', 4, 1)] <= budgets[('morton', 4, 1)] // 4
     assert budgets[('none', 10, 1)] <= budgets[('morton', 10, 1)]
-    # dense (no-BVH) path budget is memory-bound, not watchdog-bound
+    # dense (no-BVH) path budget is memory-bound AND pair-count-bound:
+    # rays x tris per pass stays under 2^32 no matter the scene size
+    # (benchmark.py dense mode on a 238k-tri scene queued 2.3e10-pair
+    # passes and crashed the worker, r5)
     small = builtin_scenes.cornell_box().commit(force_bvh=False)
     b, cap = _pass_budget(small, pt.PTParams(), 1)
     assert cap is None and b > 0
+    import types
+    for tris in (4992, 86528, 238208, 3800000):
+        fake = types.SimpleNamespace(bvh=None, num_triangles=tris)
+        b, cap = _pass_budget(fake, pt.PTParams(), 1)
+        assert cap is None
+        # pair bound (watchdog) AND packet-BLOCK alignment (a
+        # non-multiple pass falls back to the ~100x XLA gather path)
+        assert b * tris <= (1 << 32) or b == 1024, (tris, b)
+        assert b % 1024 == 0, (tris, b)
 
 
 def test_compact_widths_math():

@@ -833,13 +833,22 @@ def _prewarm_shrunk_widths(scene, params, state, widths, seed, backplate,
     threading.Thread(target=compile_compacts, daemon=True).start()
 
 
-def compact_widths(r: int, divisors=(1, 4, 16), align: int = 1024):
+# Bucket divisor set for trace_compacted: widths r/d rounded up to the
+# packet BLOCK.  Finer sets track the post-RR live tail tighter (less
+# dead work in bounces 5+) at the cost of more compiled bounce graphs
+# (each prewarmed async, _prewarm_shrunk_widths).  Module-level so the
+# profile scripts can A/B divisor sets within one process
+# (scripts/bench_divisors_ab.py).
+COMPACT_DIVISORS = (1, 4, 16)
+
+
+def compact_widths(r: int, divisors=None, align: int = 1024):
     """Allowed static wavefront widths for r rays: r/d for each divisor,
     rounded up to the packet BLOCK so every width keeps the Pallas
     kernels engaged (_use_packet).  Each distinct width compiles its own
     bounce graph — the divisor set bounds cold-compile cost."""
     ws = set()
-    for d in divisors:
+    for d in (COMPACT_DIVISORS if divisors is None else divisors):
         w = -(-r // d)                      # ceil
         w = min(r, max(align, -(-w // align) * align))
         ws.add(int(w))
@@ -849,7 +858,7 @@ def compact_widths(r: int, divisors=(1, 4, 16), align: int = 1024):
 
 def trace_compacted(scene, params: PTParams, org, dirn, seed, pixel_id,
                     sample_id, pixel_uv=None, backplate=None, time=None,
-                    samples=None, width_divisors=(1, 4, 16),
+                    samples=None, width_divisors=None,
                     bounce_stats=None):
     """trace() with one dispatch per bounce and live-ray compaction
     between bounces (see the section comment above).  Bit-identical per

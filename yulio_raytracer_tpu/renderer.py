@@ -249,6 +249,17 @@ def _pass_budget(scene, params, n_px: int):
         return max_rays, 1
     t_block = min(max(scene.num_triangles, 1), 2048)
     max_rays = int(min(1 << 21, max(1 << 14, (3 << 26) // t_block)))
+    # time-bound the dense pass too: rays x tris pair tests per pass
+    # stay under 2^32 (~seconds on v5e) no matter how big the scene —
+    # the memory formula above caps t_block at 2048, so without this a
+    # 238k-tri dense pass queues 2.3e10 pair tests and a handful of
+    # queued passes trip the execution watchdog (benchmark.py dense
+    # mode on sponza_like crashed the worker, r5)
+    # keep the cap a multiple of the Pallas BLOCK (1024): a non-multiple
+    # pass silently falls back to the ~100x slower XLA gather path
+    pair_cap = max(1024, int((1 << 32) // max(scene.num_triangles, 1))
+                   // 1024 * 1024)
+    max_rays = min(max_rays, pair_cap)
     max_rays = (max_rays * n_px + n_px - 1) // n_px * n_px
     return max_rays, None
 
@@ -451,8 +462,15 @@ def render_frame(scene, camera, params, width: int, height: int, spp: int,
         # streams crash the TPU runtime's watchdog (observed on v5e).
         # BVH-path passes run seconds each -> sync every pass (the sync
         # round-trip is ~30 ms on a tunneled device, negligible there);
-        # dense-path passes are short -> sync every 8th.
-        if scene.bvh is not None or (wi % 8) == 7:
+        # SMALL dense-path passes are short -> sync every 8th.  A dense
+        # pass over a big scene is O(rays x tris) and runs ~10 s+
+        # (benchmark.py dense mode on sponza: 8 queued passes crashed
+        # the worker, r5) -> the pair-count threshold forces per-pass
+        # syncs there too.
+        dense_heavy = (scene.bvh is None
+                       and float(scene.num_triangles) * pix_per_pass
+                       > float(1 << 31))
+        if scene.bvh is not None or dense_heavy or (wi % 8) == 7:
             _sync(rgb_flat)
         total_rays += float(nrays)
         if progress_cb is not None:
