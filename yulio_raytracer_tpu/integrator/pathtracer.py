@@ -838,8 +838,11 @@ def _prewarm_shrunk_widths(scene, params, state, widths, seed, backplate,
 # dead work in bounces 5+) at the cost of more compiled bounce graphs
 # (each prewarmed async, _prewarm_shrunk_widths).  Module-level so the
 # profile scripts can A/B divisor sets within one process
-# (scripts/bench_divisors_ab.py).
-COMPACT_DIVISORS = (1, 4, 16)
+# (scripts/bench_divisors_ab.py).  Measured in-process, 2 seeds each
+# (2026-08-20): adding /8 and /32 beats (1,4,16) with non-overlapping
+# samples on both production regimes — sponza_like 1024^2 depth-10
+# 2.575 -> 2.616 Mrps, stereo 1536^2 depth-10 4.424 -> 4.493 (+1.6%).
+COMPACT_DIVISORS = (1, 4, 8, 16, 32)
 
 
 def compact_widths(r: int, divisors=None, align: int = 1024):
