@@ -128,10 +128,18 @@ def _timed_frames(scene, camera, params, w, h, spp, repeats: int = 3,
             live = sum(e['live'] for e in stats_list)
     runs.sort(key=lambda s: s.mrps)
     med = runs[len(runs) // 2]
+    # frame_s/mray make WALL-TIME movement first-class: a chunking
+    # change can cut frame seconds while barely moving (or dipping)
+    # Mrps when it also removes padded duplicate rays from the
+    # numerator (round 5: the compacted-path budget fix cut the stereo
+    # face 25.2 s -> 18.5 s while Mrps dipped 4% because the old
+    # chunking traced 30% duplicate rays — see README)
     extras = {"min": round(runs[0].mrps, 3),
               "max": round(runs[-1].mrps, 3),
               "repeats": repeats,
-              "compile_s": round(compile_s, 1)}
+              "compile_s": round(compile_s, 1),
+              "frame_s": round(med.seconds, 2),
+              "mray": round(med.num_rays / 1e6, 1)}
     if width:
         extras["live_fraction"] = round(live / width, 4)
     return med, extras

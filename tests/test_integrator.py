@@ -303,6 +303,21 @@ def test_pass_budget_watchdog_math():
     # unsorted packets traverse ~4-8x slower: the budget must shrink
     assert budgets[('none', 4, 1)] <= budgets[('morton', 4, 1)] // 4
     assert budgets[('none', 10, 1)] <= budgets[('morton', 10, 1)]
+    # compacted driver (one bounce per dispatch): the whole-scan depth
+    # divisor no longer applies — budget is the single-bounce bound,
+    # still BLOCK-aligned, still 1/8-derated for unsorted packets
+    for binning in ('morton', 'none'):
+        for depth in (6, 10):
+            b, cap = _pass_budget(
+                scene, pt.PTParams(max_depth=depth, ray_binning=binning),
+                1, compacted=True)
+            assert cap == 1 and b % 1024 == 0
+            budgets[('compact', binning, depth)] = b
+    assert budgets[('compact', 'morton', 10)] == 1 << 22
+    assert budgets[('compact', 'none', 10)] \
+        <= budgets[('compact', 'morton', 10)] // 4
+    # a production 1536^2 face (2.36M px) must fit one compacted chunk
+    assert budgets[('compact', 'morton', 10)] >= 1536 * 1536
     # dense (no-BVH) path budget is memory-bound AND pair-count-bound:
     # rays x tris per pass stays under 2^32 no matter the scene size
     # (benchmark.py dense mode on a 238k-tri scene queued 2.3e10-pair

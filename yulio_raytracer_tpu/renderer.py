@@ -219,7 +219,7 @@ def _tile_order(width: int, height: int, tile: int = 32) -> np.ndarray:
     return order.astype(np.uint32)
 
 
-def _pass_budget(scene, params, n_px: int):
+def _pass_budget(scene, params, n_px: int, compacted: bool = False):
     """Per-pass ray budget (watchdog-safe dispatch sizing) for every
     public knob combination.  Returns (max_rays_per_pass,
     spp_per_pass_cap or None).
@@ -238,10 +238,21 @@ def _pass_budget(scene, params, n_px: int):
     gather path, whose one dispatch runs minutes and trips the
     watchdog.  On a mesh the budget is per DEVICE.
 
+    compacted=True (the trace_compacted driver): each dispatch is ONE
+    bounce, so per-dispatch device time is bounded by a single bounce
+    regardless of max_depth — the whole-scan depth divisor is needlessly
+    small there and forced production frames into padded splits (a
+    1536^2 depth-10 face split into 1.67M-ray chunks pads the 0.68M
+    tail chunk 2.4x with duplicate rays).  2^22 rays/bounce measures
+    ~7 s on v5e (sponza-class 6-light bounce ≈ 1.7 us/ray) — well
+    under the watchdog; 'none' keeps its 1/8 derating on top.
+
     Dense path: memory-bound — ~0.75 GB of f32 intermediates per
     (rays x tri_block) temp set."""
     if scene.bvh is not None:
         max_rays = max(1 << 18, (1 << 24) // max(params.max_depth, 1))
+        if compacted:
+            max_rays = 1 << 22
         if params.ray_binning == 'none':
             max_rays = max(1 << 18, max_rays // 8)
         align = 1024 * n_px
@@ -355,7 +366,13 @@ def render_frame(scene, camera, params, width: int, height: int, spp: int,
         film = accum.create(height, width)
     npix = width * height
     if max_rays_per_pass is None:
-        max_rays_per_pass, cap = _pass_budget(scene, params, n_px)
+        # the compacted driver (per-bounce dispatch) engages exactly when
+        # these hold (see the chunk-dispatch branch below) — mirror them
+        # so the relaxed single-bounce budget never reaches the scan form
+        compact_path = (compact_on and n_px == 1 and scene.bvh is not None
+                        and params.max_depth > 1)
+        max_rays_per_pass, cap = _pass_budget(scene, params, n_px,
+                                              compacted=compact_path)
         if cap is not None:
             spp_per_pass_cap = cap
     elif n_px > 1:
